@@ -1,0 +1,87 @@
+"""Streaming FASTA(.gz) reader/writer (no Biopython dependency).
+
+Replaces the reference's Biopython/xopen IO (reference Seqs.py:27-71,
+split_records.py). Sequences are returned as raw ASCII ``np.uint8`` arrays so
+downstream 2-bit packing is a single LUT gather.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+from typing import Iterator
+
+import numpy as np
+
+
+def xopen(path: str, mode: str = "rt"):
+    """Open a possibly-gzipped file transparently (by magic bytes for reads)."""
+    if "r" in mode:
+        f = open(path, "rb")
+        magic = f.read(2)
+        f.seek(0)
+        if magic == b"\x1f\x8b":
+            g = gzip.open(f, "rb")
+            return io.TextIOWrapper(g) if "t" in mode or "b" not in mode else g
+        return io.TextIOWrapper(f) if "t" in mode or "b" not in mode else f
+    if path.endswith(".gz"):
+        return gzip.open(path, mode)
+    return open(path, mode)
+
+
+def iter_fasta(path: str) -> Iterator[tuple[str, str, np.ndarray]]:
+    """Yield (id, description, seq_bytes uint8) per record, streaming."""
+    name = None
+    desc = ""
+    chunks: list[bytes] = []
+    f = open(path, "rb")
+    magic = f.read(2)
+    f.seek(0)
+    if magic == b"\x1f\x8b":
+        f = gzip.open(f, "rb")
+    with f:
+        for line in f:
+            line = line.rstrip()
+            if not line:
+                continue
+            if line.startswith(b">"):
+                if name is not None:
+                    yield name, desc, np.frombuffer(b"".join(chunks), dtype=np.uint8)
+                header = line[1:].decode()
+                parts = header.split(None, 1)
+                name = parts[0] if parts else ""
+                desc = parts[1] if len(parts) > 1 else ""
+                chunks = []
+            else:
+                chunks.append(line)
+        if name is not None:
+            yield name, desc, np.frombuffer(b"".join(chunks), dtype=np.uint8)
+
+
+def write_fasta(path: str, records, width: int = 60) -> None:
+    """Write records ``(id, seq)`` where seq is str / bytes / uint8 array."""
+    with xopen(path, "wt") as out:
+        for rid, seq in records:
+            if isinstance(seq, np.ndarray):
+                seq = seq.tobytes().decode()
+            elif isinstance(seq, (bytes, bytearray)):
+                seq = bytes(seq).decode()
+            out.write(f">{rid}\n")
+            for i in range(0, len(seq), width):
+                out.write(seq[i : i + width])
+                out.write("\n")
+
+
+def fasta_sizes(path: str) -> dict[str, int]:
+    return {rid: seq.shape[0] for rid, _, seq in iter_fasta(path)}
+
+
+def is_fasta(path: str) -> bool:
+    if not os.path.exists(path):
+        return False
+    with xopen(path, "rt") as f:
+        for line in f:
+            if line.strip():
+                return line.startswith(">")
+    return False

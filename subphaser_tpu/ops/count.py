@@ -1,0 +1,130 @@
+"""Sort-based exact k-mer counting (device) + spectrum accumulation.
+
+TPUs have no fast random scatter, so the hash tables jellyfish builds on CPU
+(reference Jellyfish.py:697-703) are replaced by the TPU-idiomatic primitive:
+sort + run-length-encode. Per tile the canonical codes are sorted with XLA's
+sort and compacted into a sparse (code, count) spectrum with static shapes
+(SENTINEL-padded). Spectra merge by key-value sort + segmented sum — the
+device-side equivalent of the reference's host dict merge
+(reference Jellyfish.py:439-460).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from subphaser_tpu.ops.kmer import SENTINEL
+
+
+@jax.jit
+def sort_rle(codes: jnp.ndarray):
+    """Sort flat int32 codes and run-length encode.
+
+    Returns (ucodes, counts) of the same static length N: unique codes in
+    ascending order padded with SENTINEL. A trailing run of SENTINEL inputs
+    (invalid positions) shows up as one SENTINEL "code" — dropped downstream.
+    """
+    n = codes.size
+    s = jnp.sort(codes.reshape(-1))
+    start = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
+    (pos,) = jnp.where(start, size=n, fill_value=n)
+    ucodes = jnp.where(pos < n, s[jnp.minimum(pos, n - 1)], SENTINEL)
+    counts = jnp.diff(pos, append=jnp.int32(n))
+    counts = jnp.where(ucodes == SENTINEL, 0, counts).astype(jnp.int32)
+    ucodes = jnp.where(counts > 0, ucodes, SENTINEL)
+    return ucodes, counts
+
+
+@jax.jit
+def merge_rle(codes_a, counts_a, codes_b, counts_b):
+    """Merge two SENTINEL-padded sorted spectra, summing duplicate codes."""
+    codes = jnp.concatenate([codes_a, codes_b])
+    counts = jnp.concatenate([counts_a, counts_b])
+    codes, counts = jax.lax.sort((codes, counts), num_keys=1)
+    n = codes.size
+    start = jnp.concatenate([jnp.ones(1, bool), codes[1:] != codes[:-1]])
+    (pos,) = jnp.where(start, size=n, fill_value=n)
+    # int32 cumsum is safe: device merges stay per-chromosome (< 2^31 bases);
+    # whole-genome totals are summed on host in int64 (merge_host)
+    csum = jnp.cumsum(counts)
+    end = jnp.minimum(jnp.diff(pos, append=jnp.int32(n)) + pos, n) - 1
+    run_tot = csum[jnp.maximum(end, 0)] - jnp.where(pos > 0, csum[jnp.maximum(pos - 1, 0)], 0)
+    ucodes = jnp.where(pos < n, codes[jnp.minimum(pos, n - 1)], SENTINEL)
+    ucounts = jnp.where((pos < n) & (ucodes != SENTINEL), run_tot, 0)
+    ucodes = jnp.where(ucounts > 0, ucodes, SENTINEL)
+    return ucodes, ucounts.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_pos_words"))
+def count_tile(words, vwords, k: int, n_pos_words: int):
+    """Packed tile -> sorted sparse (codes, counts) spectrum."""
+    from subphaser_tpu.ops.kmer import kmer_codes
+
+    codes = kmer_codes(words, vwords, k, n_pos_words)
+    return sort_rle(codes)
+
+
+def compact_host(codes: np.ndarray, counts: np.ndarray):
+    """Drop SENTINEL padding on host."""
+    m = np.asarray(codes) != SENTINEL
+    return np.asarray(codes)[m], np.asarray(counts)[m]
+
+
+def merge_host(parts: list[tuple[np.ndarray, np.ndarray]]):
+    """Merge many sorted (codes, counts) arrays on host (numpy, vectorized)."""
+    if not parts:
+        return np.empty(0, np.int32), np.empty(0, np.int64)
+    codes = np.concatenate([p[0] for p in parts])
+    counts = np.concatenate([p[1].astype(np.int64) for p in parts])
+    order = np.argsort(codes, kind="stable")
+    codes = codes[order]
+    counts = counts[order]
+    if codes.size == 0:
+        return codes, counts
+    start = np.empty(codes.size, dtype=bool)
+    start[0] = True
+    np.not_equal(codes[1:], codes[:-1], out=start[1:])
+    idx = np.flatnonzero(start)
+    totals = np.add.reduceat(counts, idx)
+    return codes[idx], totals
+
+
+class SpectrumAccumulator:
+    """Accumulates per-tile spectra into one chromosome spectrum.
+
+    Device merging is used while arrays stay under ``device_budget`` entries
+    (binary-counter / LSM-style pairwise merges so every element is merged
+    O(log n) times); larger levels spill to the host and are merged with
+    numpy at the end. This replaces the reference's one-dict-in-parent merge
+    that dominates peak RAM (reference Jellyfish.py:446-458).
+    """
+
+    def __init__(self, device_budget: int = 1 << 26):
+        self.device_budget = device_budget
+        self.levels: dict[int, tuple[jnp.ndarray, jnp.ndarray]] = {}
+        self.spilled: list[tuple[np.ndarray, np.ndarray]] = []
+
+    def add(self, codes: jnp.ndarray, counts: jnp.ndarray) -> None:
+        level = int(np.ceil(np.log2(max(int(codes.size), 1))))
+        entry = (codes, counts)
+        while level in self.levels:
+            other = self.levels.pop(level)
+            merged = merge_rle(entry[0], entry[1], other[0], other[1])
+            entry = merged
+            level += 1
+            if entry[0].size > self.device_budget:
+                self.spilled.append(compact_host(*entry))
+                return
+        self.levels[level] = entry
+
+    def finish(self) -> tuple[np.ndarray, np.ndarray]:
+        parts = list(self.spilled)
+        for entry in self.levels.values():
+            parts.append(compact_host(*entry))
+        self.levels.clear()
+        self.spilled = []
+        return merge_host(parts)

@@ -1,0 +1,65 @@
+"""Generate a synthetic allotetraploid genome for end-to-end tests/verification.
+
+Usage: python tests/make_synthetic.py OUTDIR [n_sets] [chrom_size]
+
+Writes OUTDIR/genome.fa.gz (2 subgenomes x n_sets chromosomes, each carrying
+a subgenome-specific repeat family plus shared repeats and N-runs) and
+OUTDIR/sg.config using the reference's rename (`new|old`) and comma-group
+syntax (reference example_data/Arabidopsis_suecica_sg.config).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+
+def make_genome(outdir: str, n_sets: int = 4, chrom_size: int = 150_000, seed: int = 0):
+    from subphaser_tpu.io.fasta import write_fasta
+
+    rng = np.random.default_rng(seed)
+
+    def rand_seq(n):
+        return "".join(rng.choice(list("ACGT"), size=n))
+
+    rep = {"A": rand_seq(120), "B": rand_seq(120)}
+    shared = rand_seq(120)
+
+    def chrom(sg):
+        s = list(rand_seq(chrom_size))
+        for _ in range(max(20, chrom_size // 2000)):
+            p = rng.integers(0, chrom_size - 130)
+            s[p : p + 120] = list(rep[sg])
+        for _ in range(max(10, chrom_size // 4000)):
+            p = rng.integers(0, chrom_size - 130)
+            s[p : p + 120] = list(shared)
+        for _ in range(10):
+            p = rng.integers(0, chrom_size - 60)
+            s[p : p + 50] = list("N" * 50)
+        return "".join(s)
+
+    records = []
+    for i in range(1, n_sets + 1):
+        records.append((f"CMA{i}.1", chrom("A")))
+        records.append((f"CMB{i}.1", chrom("B")))
+    os.makedirs(outdir, exist_ok=True)
+    write_fasta(os.path.join(outdir, "genome.fa.gz"), records)
+
+    lines = ["# synthetic homoeologous sets"]
+    for i in range(1, n_sets - 1):
+        lines.append(f"A{i}|CMA{i}.1\tB{i}|CMB{i}.1")
+    # last two sets use comma-grouping, like the Arabidopsis_suecica config
+    i, j = n_sets - 1, n_sets
+    lines.append(f"A{i}|CMA{i}.1,A{j}|CMA{j}.1\tB{i}|CMB{i}.1,B{j}|CMB{j}.1")
+    with open(os.path.join(outdir, "sg.config"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return os.path.join(outdir, "genome.fa.gz"), os.path.join(outdir, "sg.config")
+
+
+if __name__ == "__main__":
+    outdir = sys.argv[1]
+    n_sets = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    size = int(sys.argv[3]) if len(sys.argv) > 3 else 150_000
+    print(make_genome(outdir, n_sets, size))

@@ -1,0 +1,54 @@
+import numpy as np
+import pytest
+
+from subphaser_tpu.ops.filter import differential_filter, make_group_spec
+from tests.oracle import filter_kmer
+
+
+def random_case(rng, n_chrom=6, n_kmers=500):
+    counts = rng.integers(0, 50, size=(n_kmers, n_chrom)).astype(np.int32)
+    # make some rows strongly differential
+    counts[: n_kmers // 4, 0] += 500
+    counts[n_kmers // 4 : n_kmers // 2, 3] += 300
+    lengths = rng.integers(10000, 20000, size=n_chrom).astype(np.float64)
+    return counts, lengths
+
+
+@pytest.mark.parametrize("baseline", [1, -1])
+@pytest.mark.parametrize("by_count", [False, True])
+def test_filter_matches_oracle(baseline, by_count):
+    rng = np.random.default_rng(0)
+    counts, lengths = random_case(rng)
+    # 2 sets x 2 columns, one multi-chrom group, one singleton set (ignored)
+    sg_indices = [[[0], [3]], [[1, 2], [4]], [[5]]]
+    spec = make_group_spec(sg_indices, 6)
+    kwargs = dict(min_freq=300, max_freq=1500, min_fold=1.4, ratio=0.5)
+    diff, fold, tot = differential_filter(
+        counts,
+        lengths.astype(np.float32),
+        spec.member,
+        spec.set_groups,
+        spec.set_ncols,
+        spec.set_valid,
+        baseline=baseline,
+        by_count=by_count,
+        **kwargs,
+    )
+    diff, fold, tot = np.asarray(diff), np.asarray(fold), np.asarray(tot)
+    for i in range(counts.shape[0]):
+        ediff, efold, etot = filter_kmer(
+            counts[i].tolist(),
+            lengths.tolist(),
+            sg_indices,
+            baseline=baseline,
+            by_count=by_count,
+            **kwargs,
+        )
+        assert tot[i] == etot
+        assert fold[i] == efold, f"row {i}"
+        assert diff[i] == ediff, f"row {i}"
+
+
+def test_all_singletons_raises():
+    with pytest.raises(ValueError):
+        make_group_spec([[[0]], [[1]]], 2)

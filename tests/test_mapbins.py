@@ -1,0 +1,54 @@
+import numpy as np
+
+from subphaser_tpu.io.encoding import kmer_code
+from subphaser_tpu.io.genome import PackedGenome
+from subphaser_tpu.ops.kmer import SENTINEL
+from subphaser_tpu.ops.mapbins import BinAccumulator, map_tile_bins, nbins_for_tile
+from tests.oracle import map_kmers_to_bins, revcomp
+from tests.test_encoding import random_seq
+
+
+def test_map_tile_bins_oracle():
+    k, bin_size, n_sg = 13, 100, 2
+    rng = np.random.default_rng(5)
+    seq = random_seq(rng, 3000, n_frac=0.01)
+    # pick some k-mers present in the sequence as "significant"
+    d_kmers = {}
+    for pos in range(0, 2500, 37):
+        kmer = seq[pos : pos + k]
+        if "N" in kmer:
+            continue
+        sg = (pos // 500) % n_sg
+        d_kmers[kmer] = sg
+        d_kmers[revcomp(kmer)] = sg
+    codes = np.array(sorted(kmer_code(s) for s in d_kmers), dtype=np.int32)
+    sgs = np.array([d_kmers[s] for s in sorted(d_kmers, key=kmer_code)], dtype=np.int32)
+
+    g = PackedGenome.from_dict({"c": seq})
+    tile_bases = 1024
+    nbt = nbins_for_tile(tile_bases, bin_size)
+    acc = BinAccumulator([len(seq)], bin_size, n_sg)
+    for t in g.tiles(k, tile_bases=tile_bases):
+        bc, fb, uhit = map_tile_bins(
+            t.words, t.vwords, codes, sgs, np.int32(t.start),
+            k=k, n_pos_words=tile_bases // 16, bin_size=bin_size,
+            n_sg=n_sg, nbins_tile=nbt,
+        )
+        acc.add(t.chrom_index, bc, int(fb), uhit)
+
+    expected = map_kmers_to_bins(seq, d_kmers, k, bin_size, n_sg)
+    got = acc.per_chrom[0]
+    for b in range(got.shape[0]):
+        exp = expected.get(b, [0] * n_sg)
+        np.testing.assert_array_equal(got[b], exp, err_msg=f"bin {b}")
+    # mapped k-mer identity bookkeeping
+    expected_hit = {s for s in d_kmers if s in _all_substrings(seq, k)}
+    assert len(acc.mapped_kmers) == len(
+        {kmer_code(s) for s in expected_hit}
+    )
+    assert acc.mapped_positions == sum(sum(v) for v in expected.values())
+
+
+def _all_substrings(seq, k):
+    su = seq.upper()
+    return {su[i : i + k] for i in range(len(su) - k + 1)}
