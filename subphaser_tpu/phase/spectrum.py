@@ -1,0 +1,133 @@
+"""Counting orchestration: genome -> per-chromosome spectra -> k-mer matrix.
+
+Device work is the per-tile canonical-code extraction + sort/RLE
+(ops/count); this module streams tiles, accumulates spectra, applies the
+``lower_count`` dump threshold (jellyfish ``dump -L``, reference
+Jellyfish.py:697-703), and assembles the sparse candidate count matrix the
+differential filter consumes (replacing the reference's dict-of-lists merge,
+Jellyfish.py:439-460).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from subphaser_tpu.io.genome import DEFAULT_TILE_BASES, PackedGenome
+from subphaser_tpu.ops.count import SpectrumAccumulator, count_tile, merge_host
+from subphaser_tpu.utils.log import logger
+
+
+@dataclass
+class ChromSpectrum:
+    name: str
+    codes: np.ndarray   # int32 sorted unique canonical codes (count>=lower)
+    counts: np.ndarray  # int64
+    total: int          # sum of counts (== reference dump "tot" / lengths[i])
+
+
+def count_genome(
+    genome: PackedGenome,
+    k: int,
+    lower_count: int = 3,
+    tile_bases: int = DEFAULT_TILE_BASES,
+    device_budget: int = 1 << 26,
+    checkpoint=None,
+) -> list[ChromSpectrum]:
+    """Count canonical k-mers per chromosome on device."""
+    spectra: list[ChromSpectrum] = []
+    n_pos_words = tile_bases // 16
+    params = {"k": k, "lower_count": lower_count}
+    for ci, chrom in enumerate(genome.chroms):
+        ckp_name = f"spectrum.{chrom.name}"
+        if checkpoint is not None and checkpoint.has(ckp_name, params):
+            payload = checkpoint.load(ckp_name)
+            spectra.append(
+                ChromSpectrum(
+                    name=chrom.name,
+                    codes=payload["codes"],
+                    counts=payload["counts"],
+                    total=int(payload["total"]),
+                )
+            )
+            logger.info("Loaded spectrum checkpoint for %s", chrom.name)
+            continue
+        acc = SpectrumAccumulator(device_budget=device_budget)
+        for t in genome.tiles(k, tile_bases=tile_bases):
+            if t.chrom_index != ci:
+                continue
+            u, c = count_tile(t.words, t.vwords, k, n_pos_words)
+            acc.add(u, c)
+        codes, counts = acc.finish()
+        keep = counts >= lower_count
+        codes, counts = codes[keep], counts[keep]
+        total = int(counts.sum())
+        logger.info(
+            "Counted %s: %d distinct k-mers (count >= %d), %d total",
+            chrom.name, codes.size, lower_count, total,
+        )
+        if checkpoint is not None:
+            checkpoint.save(ckp_name, params, codes=codes, counts=counts, total=total)
+        spectra.append(
+            ChromSpectrum(name=chrom.name, codes=codes, counts=counts, total=total)
+        )
+    return spectra
+
+
+@dataclass
+class KmerMatrix:
+    codes: np.ndarray    # int32 (B,) sorted candidate canonical codes
+    counts: np.ndarray   # int32 (B, C)
+    tot: np.ndarray      # int64 (B,) genome-wide totals
+    lengths: np.ndarray  # int64 (C,) per-chromosome totals
+    labels: list[str]
+    freqs_override: np.ndarray | None = None  # set when loaded from a .mat file
+
+    @property
+    def freqs(self) -> np.ndarray:
+        """Normalized frequencies count/chrom_total, float64 (matrix file values)."""
+        if self.freqs_override is not None:
+            return self.freqs_override
+        return self.counts.astype(np.float64) / self.lengths.astype(np.float64)[None, :]
+
+
+def build_matrix(
+    spectra: list[ChromSpectrum],
+    min_total: int | float = 1,
+    max_total: int | float = float("inf"),
+) -> KmerMatrix:
+    """Assemble the chrom x k-mer count matrix for candidate k-mers.
+
+    ``min_total``/``max_total`` pre-apply the reference's total-count window
+    (Jellyfish.py:617) so the dense matrix only holds candidates. Pass
+    ``min_total=1`` to keep everything (needed when the frequency histogram
+    of all fold-passing k-mers is requested, Jellyfish.py:646-647).
+    """
+    lengths = np.array([s.total for s in spectra], dtype=np.int64)
+    zero = [s.name for s in spectra if s.total == 0]
+    if zero:
+        raise ValueError(f"Chromosomes {zero} have only 0 kmers")
+    all_codes, tot = merge_host([(s.codes, s.counts) for s in spectra])
+    window = (tot >= min_total) & (tot <= max_total)
+    cand = all_codes[window]
+    cand_tot = tot[window]
+    mat = np.zeros((cand.size, len(spectra)), dtype=np.int32)
+    for j, s in enumerate(spectra):
+        idx = np.searchsorted(cand, s.codes)
+        idx_c = np.minimum(idx, max(cand.size - 1, 0))
+        m = (idx < cand.size) & (cand.size > 0)
+        if cand.size:
+            m &= cand[idx_c] == s.codes
+        mat[idx_c[m], j] = s.counts[m]
+    logger.info(
+        "Matrix: %d candidate k-mers (of %d distinct) x %d chromosomes",
+        cand.size, all_codes.size, len(spectra),
+    )
+    return KmerMatrix(
+        codes=cand,
+        counts=mat,
+        tot=cand_tot,
+        lengths=lengths,
+        labels=[s.name for s in spectra],
+    )
