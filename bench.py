@@ -1,0 +1,141 @@
+"""Benchmark: canonical k-mer counting throughput (Mbp/s) on one chip.
+
+Prints ONE JSON line:
+  {"metric": "kmer_count_throughput", "value": N, "unit": "Mbp/s",
+   "vs_baseline": N}
+
+vs_baseline compares against a single-thread numpy implementation of the
+same exact pipeline (2-bit decode -> canonical codes -> sort -> RLE) on the
+host CPU — a stand-in for the jellyfish-class CPU path the reference shells
+out to (reference Jellyfish.py:697-703), measured on this machine.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+K = 15
+TILE_BASES = 1 << 23  # 8.4 Mbp per tile
+N_TILES = 4           # batch per timed step
+WARMUP = 2
+ITERS = 5
+
+
+def make_tiles(rng):
+    """Random packed tiles (uniform bases, all valid): worst case for sort."""
+    from subphaser_tpu.io.genome import tile_words_for
+
+    n_words = tile_words_for(TILE_BASES, K)
+    words = rng.integers(0, 2**32, size=(N_TILES, n_words), dtype=np.uint32).astype(
+        np.int32
+    )
+    vwords = np.full((N_TILES, n_words), np.uint32(0xFFFF), dtype=np.uint32).astype(
+        np.int32
+    )
+    return words, vwords
+
+
+def bench_tpu(words, vwords):
+    import jax
+    import jax.numpy as jnp
+
+    from subphaser_tpu.ops.count import count_tile
+
+    n_pos_words = TILE_BASES // 16
+
+    iota = jnp.arange(16 * n_pos_words, dtype=jnp.uint32)
+
+    @jax.jit
+    def step(ws, vs, salt):
+        def one(wv):
+            # salt the input so every timed iteration is distinct work (the
+            # axon runtime caches repeated identical executions), and make the
+            # checksum POSITION-weighted: sum(code*count) telescopes to
+            # sum(codes) and lets XLA eliminate the whole sort
+            u, c = count_tile(wv[0] ^ salt, wv[1], K, n_pos_words)
+            return jnp.sum(u.astype(jnp.uint32) * iota) + jnp.sum(
+                c.astype(jnp.uint32) * iota
+            )
+
+        sums = jax.lax.map(one, (ws, vs))
+        return jnp.sum(sums)
+
+    ws = jax.device_put(words)
+    vs = jax.device_put(vwords)
+    log(f"devices: {jax.devices()}")
+    t0 = time.time()
+    step(ws, vs, jnp.int32(0)).block_until_ready()
+    log(f"compile+first run: {time.time() - t0:.1f}s")
+    for i in range(WARMUP - 1):
+        step(ws, vs, jnp.int32(i + 1)).block_until_ready()
+    t0 = time.time()
+    for i in range(ITERS):
+        out = step(ws, vs, jnp.int32(100 + i)).block_until_ready()
+    dt = (time.time() - t0) / ITERS
+    mbp = N_TILES * TILE_BASES / 1e6
+    log(f"TPU: {mbp / dt:.1f} Mbp/s ({dt * 1e3:.1f} ms per {mbp:.0f} Mbp batch), checksum={int(out)}")
+    return mbp / dt
+
+
+def bench_cpu_numpy(words, vwords):
+    """Same algorithm in numpy, single tile, single thread."""
+    from subphaser_tpu.io.encoding import unpack_words
+
+    w = words[0]
+    v = vwords[0]
+    t0 = time.time()
+    codes, valid = unpack_words(w, v)
+    n_pos = TILE_BASES
+    code = np.zeros(n_pos, dtype=np.int32)
+    ok = np.ones(n_pos, dtype=bool)
+    for j in range(K):
+        code = (code << 2) | codes[j : j + n_pos].astype(np.int32)
+        ok &= valid[j : j + n_pos].astype(bool)
+    code &= (1 << (2 * K)) - 1
+    from subphaser_tpu.io.encoding import revcomp_code
+
+    rc = revcomp_code(code & 0x3FFFFFFF, K).astype(np.int32)
+    canon = np.minimum(code, rc)
+    canon = canon[ok]
+    canon.sort(kind="stable")
+    boundaries = np.empty(canon.size, dtype=bool)
+    boundaries[0] = True
+    np.not_equal(canon[1:], canon[:-1], out=boundaries[1:])
+    idx = np.flatnonzero(boundaries)
+    counts = np.diff(np.append(idx, canon.size))
+    dt = time.time() - t0
+    mbp = TILE_BASES / 1e6
+    log(f"CPU numpy baseline: {mbp / dt:.1f} Mbp/s ({dt:.2f}s per tile), "
+        f"{idx.size} distinct, checksum={int(counts.sum())}")
+    return mbp / dt
+
+
+def main():
+    rng = np.random.default_rng(0)
+    words, vwords = make_tiles(rng)
+    cpu = bench_cpu_numpy(words, vwords)
+    tpu = bench_tpu(words, vwords)
+    print(
+        json.dumps(
+            {
+                "metric": "kmer_count_throughput",
+                "value": round(tpu, 1),
+                "unit": "Mbp/s",
+                "vs_baseline": round(tpu / cpu, 2),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

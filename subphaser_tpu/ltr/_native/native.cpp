@@ -1,0 +1,382 @@
+// subphaser_tpu native host library.
+//
+// TPU-native role split (see SURVEY §2.3): the data-parallel scanning that
+// the reference delegates to external C binaries runs on device (seed
+// matching via the k-mer kernels); the irregular sequential refinement that
+// resists vectorization lives here:
+//   - sp_refine_ltr: LTRharvest-style candidate refinement (seed clustering,
+//     X-drop extension, banded-identity, TSD search) — replaces
+//     `gt suffixerator + ltrharvest` (reference LTR.py:35-36)
+//   - sp_chain_anchors: minimap2-style colinear anchor chaining — replaces
+//     the minimap2 alignment step feeding homoeologous blocks
+//     (reference Blocks.py:42-43)
+//   - sp_nj_tree: neighbor-joining phylogeny — replaces FastTree for the
+//     subgenome-specific LTR trees (reference LTR.py:145-147)
+//
+// Plain C ABI for ctypes. Sequences are 2-bit codes in uint8 (0..3), 4 = N.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// banded global identity between two sequences (a of length la, b of lb).
+// Returns identity in [0,1] = matches / alignment_columns.
+// ---------------------------------------------------------------------------
+static double banded_identity(const uint8_t* a, int la, const uint8_t* b,
+                              int lb, int band) {
+  if (la <= 0 || lb <= 0) return 0.0;
+  band = std::max(band, std::abs(la - lb) + 2);
+  const int W = 2 * band + 1;
+  const int NEG = -1000000000;
+  // DP over (i, j) with |i - j| <= band; store matches and length per cell
+  std::vector<int> score(W, NEG), matches(W, 0), cols(W, 0);
+  std::vector<int> nscore(W), nmatch(W), ncols(W);
+  // j = i + (w - band)
+  score[band] = 0;  // (0,0)
+  for (int w = band + 1; w < W; ++w) {  // first row: gaps in b
+    int j = w - band;
+    if (j > lb) break;
+    score[w] = -2 * j;
+    cols[w] = j;
+  }
+  for (int i = 1; i <= la; ++i) {
+    std::fill(nscore.begin(), nscore.end(), NEG);
+    for (int w = 0; w < W; ++w) {
+      int j = i + (w - band);
+      if (j < 0 || j > lb) continue;
+      int best = NEG, bm = 0, bc = 0;
+      if (j == 0) {
+        best = -2 * i; bm = 0; bc = i;
+      } else {
+        // diagonal (i-1, j-1) -> same w
+        if (score[w] > NEG) {
+          bool m = a[i - 1] == b[j - 1] && a[i - 1] < 4;
+          int s = score[w] + (m ? 2 : -3);
+          if (s > best) { best = s; bm = matches[w] + (m ? 1 : 0); bc = cols[w] + 1; }
+        }
+        // up (i-1, j) -> w+1 in previous row
+        if (w + 1 < W && score[w + 1] > NEG) {
+          int s = score[w + 1] - 4;
+          if (s > best) { best = s; bm = matches[w + 1]; bc = cols[w + 1] + 1; }
+        }
+        // left (i, j-1) -> w-1 in current row
+        if (w - 1 >= 0 && nscore[w - 1] > NEG) {
+          int s = nscore[w - 1] - 4;
+          if (s > best) { best = s; bm = nmatch[w - 1]; bc = ncols[w - 1] + 1; }
+        }
+      }
+      nscore[w] = best; nmatch[w] = bm; ncols[w] = bc;
+    }
+    score.swap(nscore); matches.swap(nmatch); cols.swap(ncols);
+  }
+  int w = lb - la + band;
+  if (w < 0 || w >= W || score[w] <= NEG) return 0.0;
+  return cols[w] > 0 ? (double)matches[w] / (double)cols[w] : 0.0;
+}
+
+double sp_banded_identity(const uint8_t* a, int la, const uint8_t* b, int lb,
+                          int band) {
+  return banded_identity(a, la, b, lb, band);
+}
+
+// ---------------------------------------------------------------------------
+// LTR candidate refinement.
+// ---------------------------------------------------------------------------
+struct LtrParams {
+  int k;            // seed length
+  int minlenltr;    // 100
+  int maxlenltr;    // 7000
+  int mindistltr;   // 1000  (distance between LTR starts)
+  int maxdistltr;   // 15000
+  double similar;   // 80.0 (percent)
+  int mintsd;       // 4
+  int maxtsd;       // 6 (0 = no TSD requirement)
+  int vic;          // 10
+  int xdrop;        // 5 (score units)
+  int band;         // diagonal clustering tolerance (e.g. 50)
+  int max_gap;      // seed chaining gap along i (e.g. 1000)
+};
+
+struct LtrOut {
+  int32_t start;      // element start (0-based, inclusive)
+  int32_t end;        // element end (0-based, exclusive)
+  int32_t lltr_len;
+  int32_t rltr_len;
+  double similarity;  // percent
+  int32_t tsd_len;
+};
+
+struct Seed { int32_t i, j; };
+
+// greedy ungapped X-drop extension; returns extension length
+static int extend_ungapped(const uint8_t* seq, int n, int i, int j, int dir,
+                           int xdrop) {
+  // dir = +1 extends to the right starting AT (i, j); -1 extends left
+  // starting AT (i, j) inclusive.
+  int best = 0, best_len = 0, score = 0, len = 0;
+  while (true) {
+    int pi = i + dir * len;
+    int pj = j + dir * len;
+    if (pi < 0 || pj < 0 || pi >= n || pj >= n) break;
+    uint8_t a = seq[pi], b = seq[pj];
+    if (a >= 4 || b >= 4) break;
+    score += (a == b) ? 2 : -3;
+    ++len;
+    if (score > best) { best = score; best_len = len; }
+    if (best - score > xdrop * 2) break;
+  }
+  return best_len;
+}
+
+int sp_refine_ltr(const uint8_t* seq, int64_t n, const int32_t* seed_i,
+                  const int32_t* seed_j, int64_t n_seeds,
+                  const LtrParams* prm, LtrOut* out, int64_t out_cap) {
+  std::vector<Seed> seeds(n_seeds);
+  for (int64_t s = 0; s < n_seeds; ++s) seeds[s] = {seed_i[s], seed_j[s]};
+  std::sort(seeds.begin(), seeds.end(), [](const Seed& a, const Seed& b) {
+    int64_t da = (int64_t)a.j - a.i, db = (int64_t)b.j - b.i;
+    if (da != db) return da < db;
+    return a.i < b.i;
+  });
+
+  int64_t n_out = 0;
+  size_t s = 0;
+  std::vector<LtrOut> cands;
+  while (s < seeds.size()) {
+    // cluster seeds with similar diagonal and nearby i
+    size_t e = s + 1;
+    int64_t d0 = (int64_t)seeds[s].j - seeds[s].i;
+    int32_t imin = seeds[s].i, imax = seeds[s].i;
+    int32_t jmin = seeds[s].j, jmax = seeds[s].j;
+    while (e < seeds.size()) {
+      int64_t d = (int64_t)seeds[e].j - seeds[e].i;
+      if (d - d0 > prm->band) break;
+      if (seeds[e].i > imax + prm->max_gap) break;
+      imin = std::min(imin, seeds[e].i); imax = std::max(imax, seeds[e].i);
+      jmin = std::min(jmin, seeds[e].j); jmax = std::max(jmax, seeds[e].j);
+      ++e;
+    }
+    s = e;
+
+    // candidate LTR pair spans from the seed cluster
+    int ls = imin, le = imax + prm->k;  // [ls, le)
+    int rs = jmin, re = jmax + prm->k;
+    // extend outward with X-drop
+    int left = extend_ungapped(seq, (int)n, ls - 1, rs - 1, -1, prm->xdrop);
+    int right = extend_ungapped(seq, (int)n, le, re, +1, prm->xdrop);
+    ls -= left; rs -= left; le += right; re += right;
+    int lltr = le - ls, rltr = re - rs;
+    if (lltr < prm->minlenltr || lltr > prm->maxlenltr) continue;
+    if (rltr < prm->minlenltr || rltr > prm->maxlenltr) continue;
+    int64_t dist = rs - ls;
+    if (dist < prm->mindistltr || dist > prm->maxdistltr) continue;
+    if (rs < le) continue;  // LTRs must not overlap each other
+    // identity
+    int band = (int)((jmax - jmin) - (imax - imin));
+    band = std::abs(band) + 20;
+    double ident = banded_identity(seq + ls, lltr, seq + rs, rltr, band);
+    double sim = 100.0 * ident;
+    if (sim < prm->similar) continue;
+
+    // TSD search around [ls, re)
+    int tsd = 0, best_shift = 1 << 30, bls = ls, bre = re;
+    if (prm->maxtsd > 0) {
+      for (int t = prm->maxtsd; t >= prm->mintsd && !tsd; --t) {
+        for (int da = -prm->vic; da <= prm->vic; ++da) {
+          for (int db = -prm->vic; db <= prm->vic; ++db) {
+            int s2 = ls + da, e2 = re + db;
+            if (s2 - t < 0 || e2 + t > (int64_t)n) continue;
+            bool ok = true;
+            for (int x = 0; x < t; ++x) {
+              uint8_t a = seq[s2 - t + x], b = seq[e2 + x];
+              if (a >= 4 || a != b) { ok = false; break; }
+            }
+            if (ok && std::abs(da) + std::abs(db) < best_shift) {
+              best_shift = std::abs(da) + std::abs(db);
+              tsd = t; bls = s2; bre = e2;
+            }
+          }
+        }
+      }
+      if (!tsd) continue;  // -mintsd set => TSD required (harvest semantics)
+      lltr += bls == ls ? 0 : (ls - bls);
+      rltr += bre == re ? 0 : (bre - re);
+      ls = bls; re = bre;
+      if (lltr < prm->minlenltr || rltr < prm->minlenltr) continue;
+    }
+
+    LtrOut o;
+    o.start = ls; o.end = re; o.lltr_len = lltr; o.rltr_len = rltr;
+    o.similarity = std::round(sim * 100.0) / 100.0; o.tsd_len = tsd;
+    cands.push_back(o);
+  }
+
+  // dedupe: same/heavily-overlapping candidates keep the highest similarity
+  std::sort(cands.begin(), cands.end(), [](const LtrOut& a, const LtrOut& b) {
+    if (a.start != b.start) return a.start < b.start;
+    return a.similarity > b.similarity;
+  });
+  std::vector<LtrOut> kept;
+  for (const auto& c : cands) {
+    bool dup = false;
+    for (auto it = kept.rbegin(); it != kept.rend(); ++it) {
+      if (it->end <= c.start) break;
+      int64_t ovl = std::min((int64_t)it->end, (int64_t)c.end) -
+                    std::max((int64_t)it->start, (int64_t)c.start);
+      int64_t mlen = std::min(it->end - it->start, c.end - c.start);
+      if (ovl * 100 >= mlen * 90) { dup = true; break; }
+    }
+    if (!dup) kept.push_back(c);
+  }
+  for (const auto& c : kept) {
+    if (n_out >= out_cap) break;
+    out[n_out++] = c;
+  }
+  return (int)n_out;
+}
+
+// ---------------------------------------------------------------------------
+// colinear anchor chaining (minimap2-flavored DP) for homoeologous blocks.
+// Anchors: (qpos, tpos, len) sorted by qpos. Returns chain segments as
+// (q_start, q_end, t_start, t_end, n_anchors, score) sextuples.
+// ---------------------------------------------------------------------------
+struct ChainOut {
+  int64_t q_start, q_end, t_start, t_end;
+  int32_t n_anchors;
+  int32_t strand;  // +1 / -1
+  double score;
+};
+
+int sp_chain_anchors(const int64_t* qpos, const int64_t* tpos,
+                     const int32_t* alen, int64_t n_anchors, int32_t strand,
+                     int64_t max_gap, int64_t min_chain_len,
+                     int32_t min_chain_anchors, ChainOut* out,
+                     int64_t out_cap) {
+  if (n_anchors == 0) return 0;
+  std::vector<int64_t> order(n_anchors);
+  for (int64_t i = 0; i < n_anchors; ++i) order[i] = i;
+  std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+    if (qpos[a] != qpos[b]) return qpos[a] < qpos[b];
+    return tpos[a] < tpos[b];
+  });
+  std::vector<double> dp(n_anchors);
+  std::vector<int64_t> prev(n_anchors, -1);
+  const int64_t LOOKBACK = 64;
+  for (int64_t oi = 0; oi < n_anchors; ++oi) {
+    int64_t i = order[oi];
+    dp[i] = alen[i];
+    for (int64_t oj = std::max((int64_t)0, oi - LOOKBACK); oj < oi; ++oj) {
+      int64_t j = order[oj];
+      int64_t dq = qpos[i] - qpos[j];
+      int64_t dt = tpos[i] - tpos[j];
+      if (dq <= 0 || dt <= 0) continue;
+      if (dq > max_gap || dt > max_gap) continue;
+      int64_t gap = std::llabs(dq - dt);
+      double sc = dp[j] + std::min((int64_t)alen[i], std::min(dq, dt)) -
+                  (gap > 0 ? 0.01 * gap + 0.5 * std::log2((double)gap + 1) : 0.0);
+      if (sc > dp[i]) { dp[i] = sc; prev[i] = j; }
+    }
+  }
+  // backtrack best chains greedily (highest score first, unused anchors)
+  std::vector<int64_t> by_score(n_anchors);
+  for (int64_t i = 0; i < n_anchors; ++i) by_score[i] = i;
+  std::sort(by_score.begin(), by_score.end(),
+            [&](int64_t a, int64_t b) { return dp[a] > dp[b]; });
+  std::vector<char> used(n_anchors, 0);
+  int64_t n_out = 0;
+  for (int64_t idx : by_score) {
+    if (used[idx] || n_out >= out_cap) continue;
+    // walk chain
+    int64_t tail = idx, head = idx, cnt = 0;
+    bool clash = false;
+    for (int64_t cur = idx; cur != -1; cur = prev[cur]) {
+      if (used[cur]) { clash = true; break; }
+      head = cur; ++cnt;
+    }
+    if (clash) continue;
+    int64_t q0 = qpos[head], t0 = tpos[head];
+    int64_t q1 = qpos[tail] + alen[tail], t1 = tpos[tail] + alen[tail];
+    for (int64_t cur = idx; cur != -1; cur = prev[cur]) used[cur] = 1;
+    if (cnt < min_chain_anchors) continue;
+    if (q1 - q0 < min_chain_len) continue;
+    ChainOut o;
+    o.q_start = q0; o.q_end = q1; o.t_start = t0; o.t_end = t1;
+    o.n_anchors = (int32_t)cnt; o.strand = strand; o.score = dp[idx];
+    out[n_out++] = o;
+  }
+  return (int)n_out;
+}
+
+// ---------------------------------------------------------------------------
+// neighbor-joining tree from a condensed distance matrix.
+// Writes newick into out (cap bytes). Names are provided as a single
+// NUL-separated blob.
+// ---------------------------------------------------------------------------
+int sp_nj_tree(const double* dist, int32_t n, const char* names_blob,
+               char* out, int64_t cap) {
+  if (n <= 0) return -1;
+  std::vector<const char*> names(n);
+  {
+    const char* p = names_blob;
+    for (int i = 0; i < n; ++i) { names[i] = p; p += strlen(p) + 1; }
+  }
+  std::vector<std::vector<double>> d(n, std::vector<double>(n));
+  for (int i = 0; i < n; ++i)
+    for (int j = 0; j < n; ++j) d[i][j] = dist[(int64_t)i * n + j];
+  std::vector<std::string> node(n);
+  for (int i = 0; i < n; ++i) node[i] = names[i];
+  std::vector<int> active(n);
+  for (int i = 0; i < n; ++i) active[i] = 1;
+  int m = n;
+  auto fmt = [](double x) {
+    char b[32];
+    snprintf(b, sizeof b, "%.6f", std::max(x, 0.0));
+    return std::string(b);
+  };
+  while (m > 2) {
+    std::vector<double> r(n, 0.0);
+    for (int i = 0; i < n; ++i)
+      if (active[i])
+        for (int j = 0; j < n; ++j)
+          if (active[j] && j != i) r[i] += d[i][j];
+    double best = 1e300; int bi = -1, bj = -1;
+    for (int i = 0; i < n; ++i) {
+      if (!active[i]) continue;
+      for (int j = i + 1; j < n; ++j) {
+        if (!active[j]) continue;
+        double q = (m - 2) * d[i][j] - r[i] - r[j];
+        if (q < best) { best = q; bi = i; bj = j; }
+      }
+    }
+    double li = 0.5 * d[bi][bj] + (r[bi] - r[bj]) / (2.0 * (m - 2));
+    double lj = d[bi][bj] - li;
+    std::string merged = "(" + node[bi] + ":" + fmt(li) + "," + node[bj] + ":" +
+                         fmt(lj) + ")";
+    for (int x = 0; x < n; ++x) {
+      if (!active[x] || x == bi || x == bj) continue;
+      d[bi][x] = d[x][bi] = 0.5 * (d[bi][x] + d[bj][x] - d[bi][bj]);
+    }
+    node[bi] = merged;
+    active[bj] = 0;
+    --m;
+  }
+  int a = -1, b = -1;
+  for (int i = 0; i < n; ++i)
+    if (active[i]) { if (a < 0) a = i; else b = i; }
+  std::string tree;
+  if (b < 0) tree = node[a] + ";";
+  else tree = "(" + node[a] + ":" + fmt(d[a][b] / 2) + "," + node[b] + ":" +
+              fmt(d[a][b] / 2) + ");";
+  if ((int64_t)tree.size() + 1 > cap) return -2;
+  memcpy(out, tree.c_str(), tree.size() + 1);
+  return (int)tree.size();
+}
+
+}  // extern "C"
