@@ -111,6 +111,9 @@ def make_parser() -> argparse.ArgumentParser:
                     default="-seqids yes -similar 80 -vic 10 -seed 20 -minlenltr 100 "
                     "-maxlenltr 7000 -mintsd 4 -maxtsd 6")
     gl.add_argument("-tesorter_options", metavar="STR", default="-db rexdb -dp2")
+    gl.add_argument("-hmm_db", metavar="FILE", default=None,
+                    help="HMMER3 profile database (REXdb-style names) for native "
+                    "TE classification; without it, -all_ltr behavior applies")
     gl.add_argument("-all_ltr", action="store_true", default=False,
                     help="Use all detected LTR-RTs (not only TEsorter-classified LTR)")
     gl.add_argument("-intact_ltr", action="store_true", default=False,

@@ -1,0 +1,289 @@
+"""TE/LTR classification engine (TEsorter-equivalent, database-pluggable).
+
+The reference shells out to `TEsorter` which 6-frame-translates LTR inner
+regions and hmmscans them against the REXdb protein-domain profiles
+(reference LTR.py:378-401, api/TEsorter/app.py:201-344). This module
+implements that engine natively:
+
+- 6-frame translation
+- HMMER3 ASCII ``.hmm`` parser (profile match emissions + transitions)
+- vectorized plan7 local Viterbi scan (numpy)
+- per-element domain aggregation -> order / superfamily / clade,
+  ``completed`` = GAG-PROT-INT-RT-RH all present (reference app.py:556-616),
+  strand from the best-scoring frame
+
+REXdb itself is distribution-restricted data, not code: point
+``db_path`` at any HMMER3 file whose profile names follow the REXdb
+convention (e.g. ``Class_I/LTR/Ty3_gypsy/.../RT``). Without a database the
+LTR pipeline falls back to using all detected LTRs (`-all_ltr` behavior).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# standard genetic code, table 1
+_CODONS = {}
+_BASES = "TCAG"
+_AA = (
+    "FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG"
+)
+for _i, _a in enumerate(_AA):
+    _CODONS[_BASES[_i // 16] + _BASES[(_i // 4) % 4] + _BASES[_i % 4]] = _a
+
+_COMP = str.maketrans("ACGTN", "TGCAN")
+AMINO = "ACDEFGHIKLMNPQRSTVWY"
+_AA_IDX = {a: i for i, a in enumerate(AMINO)}
+
+
+def translate(seq: str) -> str:
+    seq = seq.upper().replace("U", "T")
+    return "".join(
+        _CODONS.get(seq[i : i + 3], "X") for i in range(0, len(seq) - 2, 3)
+    )
+
+
+def six_frames(seq: str) -> list[tuple[str, int, str]]:
+    """[(protein, frame 0..2, strand '+'/'-'), ...] for all 6 frames."""
+    seq = seq.upper()
+    rc = seq.translate(_COMP)[::-1]
+    out = []
+    for f in range(3):
+        out.append((translate(seq[f:]), f, "+"))
+        out.append((translate(rc[f:]), f, "-"))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# HMMER3 profile parsing
+# ---------------------------------------------------------------------------
+@dataclass
+class Profile:
+    name: str
+    length: int
+    match_scores: np.ndarray  # (M+1, 20) log-odds (bits-ish, nat log here)
+    tmm: np.ndarray  # (M+1,) log t(Mk -> Mk+1)
+    tmi: np.ndarray
+    tmd: np.ndarray
+    tim: np.ndarray
+    tii: np.ndarray
+    tdm: np.ndarray
+    tdd: np.ndarray
+    insert_scores: np.ndarray | None = None
+
+
+def _parse_logprob(tok: str) -> float:
+    if tok == "*":
+        return -np.inf
+    return -float(tok)  # HMMER stores -ln(p)
+
+
+def load_hmm_db(path: str) -> list[Profile]:
+    """Parse a HMMER3 ASCII file (possibly multi-profile)."""
+    profiles = []
+    with open(path) as f:
+        lines = iter(f)
+        for line in lines:
+            if not line.startswith("HMMER3"):
+                continue
+            name = None
+            length = 0
+            alpha = None
+            for line in lines:
+                if line.startswith("NAME"):
+                    name = line.split()[1]
+                elif line.startswith("LENG"):
+                    length = int(line.split()[1])
+                elif line.startswith("ALPH"):
+                    alpha = line.split()[1]
+                elif line.startswith("HMM "):
+                    break
+            header_syms = line.split()[1:]
+            next(lines)  # transition header line
+            m = length
+            match_lp = np.full((m + 1, len(header_syms)), -np.inf)
+            trans = np.full((m + 1, 7), -np.inf)
+            bg = None
+            row = 0
+            for line in lines:
+                t = line.split()
+                if t[0] == "//":
+                    break
+                if t[0] == "COMPO":
+                    bg = np.array([_parse_logprob(x) for x in t[1 : 1 + len(header_syms)]])
+                    # next two lines: insert emissions + begin transitions of node 0
+                    next(lines)
+                    t0 = next(lines).split()
+                    trans[0] = [_parse_logprob(x) for x in t0[:7]]
+                    continue
+                if t[0].isdigit():
+                    k = int(t[0])
+                    match_lp[k] = [_parse_logprob(x) for x in t[1 : 1 + len(header_syms)]]
+                    next(lines)  # insert emissions
+                    tk = next(lines).split()
+                    trans[k] = [_parse_logprob(x) for x in tk[:7]]
+                    row = k
+            if bg is None:
+                bg = np.log(np.full(len(header_syms), 1.0 / len(header_syms)))
+            # log-odds vs background
+            lo = match_lp - bg[None, :]
+            # map header symbol order to our AMINO order
+            order = [header_syms.index(a) for a in AMINO]
+            profiles.append(
+                Profile(
+                    name=name,
+                    length=length,
+                    match_scores=lo[:, order],
+                    tmm=trans[:, 0], tmi=trans[:, 1], tmd=trans[:, 2],
+                    tim=trans[:, 3], tii=trans[:, 4],
+                    tdm=trans[:, 5], tdd=trans[:, 6],
+                )
+            )
+    return profiles
+
+
+def viterbi_local(seq_idx: np.ndarray, prof: Profile) -> float:
+    """Smith-Waterman-flavored local Viterbi score (nats).
+
+    Vectorized over profile positions per residue; free entry/exit into any
+    match state (hmmsearch-style local mode, simplified).
+    """
+    m = prof.length
+    if seq_idx.size == 0 or m == 0:
+        return 0.0
+    ms = prof.match_scores  # (M+1, 20)
+    neg = -1e30
+    vm = np.full(m + 1, neg)
+    vi = np.full(m + 1, neg)
+    vd = np.full(m + 1, neg)
+    best = 0.0
+    for x in seq_idx:
+        emit = ms[1:, x]  # (M,)
+        prev_m = vm.copy()
+        prev_i = vi.copy()
+        # delete states first (within previous column)
+        # match: from M(k-1), I(k-1), D(k-1), or fresh local start (0)
+        cand = np.maximum(
+            np.maximum(prev_m[:-1] + prof.tmm[:-1], prev_i[:-1] + prof.tim[:-1]),
+            vd[:-1] + prof.tdm[:-1],
+        )
+        cand = np.maximum(cand, 0.0)  # local start
+        vm[1:] = cand + emit
+        vm[0] = neg
+        # insert: stay in k
+        vi = np.maximum(prev_m + prof.tmi, prev_i + prof.tii)
+        # delete: sequential along k within the column
+        vd_new = np.full(m + 1, neg)
+        run = neg
+        for k in range(1, m + 1):
+            run = max(vm[k - 1] + prof.tmd[k - 1], run + prof.tdd[k - 1])
+            vd_new[k] = run
+        vd = vd_new
+        best = max(best, float(vm.max()))
+    return best
+
+
+# ---------------------------------------------------------------------------
+# classification
+# ---------------------------------------------------------------------------
+DOMAIN_ORDER = ["GAG", "PROT", "INT", "RT", "RH"]  # completeness check
+
+
+@dataclass
+class Classification:
+    id: str
+    order: str | None = None
+    superfamily: str | None = None
+    clade: str | None = None
+    completed: str | None = "no"
+    strand: str | None = "?"
+    domains: str | None = None
+    score: float = 0.0
+
+
+def parse_rexdb_name(name: str) -> tuple[str | None, str | None, str | None, str | None]:
+    """REXdb profile name -> (order, superfamily, clade, domain).
+
+    e.g. 'Class_I/LTR/Ty1_copia/Ale/RT' or 'Ty3_gypsy/chromovirus/CRM:INT'.
+    """
+    dom = None
+    base = name
+    if ":" in name:
+        base, dom = name.rsplit(":", 1)
+    parts = base.split("/")
+    if dom is None and parts and parts[-1].upper() in {
+        "GAG", "PROT", "AP", "INT", "RT", "RH", "RNASEH", "ENV", "CHDCR", "CHD"
+    }:
+        dom = parts.pop()
+    order = None
+    superfamily = None
+    clade = parts[-1] if parts else None
+    joined = "/".join(parts)
+    if "LTR" in joined or re.search(r"Ty1|copia|Ty3|gypsy|Bel|Pao|Retrovirus", joined, re.I):
+        order = "LTR"
+    if re.search(r"Ty1|copia", joined, re.I):
+        superfamily = "Copia"
+    elif re.search(r"Ty3|gypsy", joined, re.I):
+        superfamily = "Gypsy"
+    elif re.search(r"Bel|Pao", joined, re.I):
+        superfamily = "Bel-Pao"
+    elif re.search(r"Retrovirus", joined, re.I):
+        superfamily = "Retrovirus"
+    if dom:
+        dom = {"AP": "PROT", "RNASEH": "RH"}.get(dom.upper(), dom.upper())
+    return order, superfamily, clade, dom
+
+
+def classify_elements(
+    elements: list[tuple[str, str]],
+    db_path: str,
+    min_score: float = 15.0,
+) -> dict[str, Classification]:
+    """elements: (id, inner_dna_seq). Returns id -> Classification."""
+    profiles = load_hmm_db(db_path)
+    out: dict[str, Classification] = {}
+    for eid, seq in elements:
+        frames = six_frames(seq)
+        hits = []  # (score, strand, order, superfamily, clade, domain)
+        for prot, _f, strand in frames:
+            idx = np.array([_AA_IDX.get(a, -1) for a in prot], dtype=np.int64)
+            idx = idx[idx >= 0]
+            for prof in profiles:
+                sc = viterbi_local(idx, prof)
+                if sc >= min_score:
+                    o, sf, cl, dom = parse_rexdb_name(prof.name)
+                    hits.append((sc, strand, o, sf, cl, dom))
+        if not hits:
+            out[eid] = Classification(id=eid)
+            continue
+        hits.sort(reverse=True, key=lambda h: h[0])
+        best = hits[0]
+        doms = {h[5] for h in hits if h[5]}
+        # clade majority vote among hits agreeing with the best superfamily
+        clades = [h[4] for h in hits if h[3] == best[3] and h[4]]
+        clade = max(set(clades), key=clades.count) if clades else best[4]
+        completed = "yes" if all(d in doms for d in DOMAIN_ORDER) else "no"
+        out[eid] = Classification(
+            id=eid, order=best[2], superfamily=best[3], clade=clade,
+            completed=completed, strand=best[1],
+            domains=" ".join(sorted(doms)), score=best[0],
+        )
+    return out
+
+
+def write_cls_tsv(d_class: dict[str, Classification], fout) -> None:
+    """TEsorter-compatible .cls.tsv (reference app.py writes the same columns)."""
+    fout.write("#TE\tOrder\tSuperfamily\tClade\tComplete\tStrand\tDomains\n")
+    for eid, c in d_class.items():
+        fout.write(
+            "\t".join(
+                str(v) if v is not None else "none"
+                for v in [eid, c.order, c.superfamily, c.clade, c.completed,
+                          c.strand, c.domains]
+            )
+            + "\n"
+        )

@@ -1,0 +1,195 @@
+"""LTR-RT detection: TPU seed matching + native refinement.
+
+Replaces `gt suffixerator + ltrharvest` / `ltr_finder` (reference
+LTR.py:33-61): instead of building suffix arrays per 20 Mb shell job, the
+device finds candidate direct-repeat seed pairs with the same sorted-k-mer
+machinery used for counting — positions carried through the sort, pairs
+taken between nearby run-mates within the LTR distance window — and the
+irregular per-candidate work (cluster, X-drop extend, banded identity, TSD)
+runs in the native library (ltr/_native/native.cpp).
+
+Default constraints mirror the reference's ltr_harvest invocation
+(`-similar 80 -vic 10 -seed 20 -minlenltr 100 -maxlenltr 7000 -mintsd 4
+-maxtsd 6`, reference __main__.py:146-152) with gt's own defaults for
+mindistltr (1000) / maxdistltr (15000).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from subphaser_tpu.io.encoding import unpack_words
+from subphaser_tpu.io.genome import PackedGenome
+from subphaser_tpu.ops.kmer import SENTINEL, forward_codes
+from subphaser_tpu.ltr import native
+from subphaser_tpu.ltr.records import LTRRecord
+from subphaser_tpu.utils.log import logger
+
+DEFAULT_PARAMS = dict(
+    k=15,
+    minlenltr=100,
+    maxlenltr=7000,
+    mindistltr=1000,
+    maxdistltr=15000,
+    similar=80.0,
+    mintsd=4,
+    maxtsd=6,
+    vic=10,
+    xdrop=10,
+    band=50,
+    max_gap=2000,
+)
+
+
+def parse_harvest_options(options: str | None) -> dict:
+    """Map `-ltr_harvest_options` flags onto detector params."""
+    params = dict(DEFAULT_PARAMS)
+    if not options:
+        return params
+    toks = options.split()
+    keymap = {
+        "-minlenltr": ("minlenltr", int),
+        "-maxlenltr": ("maxlenltr", int),
+        "-mindistltr": ("mindistltr", int),
+        "-maxdistltr": ("maxdistltr", int),
+        "-similar": ("similar", float),
+        "-mintsd": ("mintsd", int),
+        "-maxtsd": ("maxtsd", int),
+        "-vic": ("vic", int),
+        "-xdrop": ("xdrop", int),
+    }
+    for i, t in enumerate(toks):
+        if t in keymap and i + 1 < len(toks):
+            key, conv = keymap[t]
+            try:
+                params[key] = conv(toks[i + 1])
+            except ValueError:
+                pass
+    return params
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "n_pos_words", "max_shift", "cap"),
+)
+def seed_pairs(
+    words,
+    vwords,
+    *,
+    k: int,
+    n_pos_words: int,
+    mindist: int,
+    maxdist: int,
+    max_shift: int = 16,
+    cap: int = 1 << 18,
+):
+    """Direct-repeat seed pairs (i, j) with j - i in [mindist, maxdist].
+
+    Sorts forward-strand codes (direct repeats match on the same strand)
+    carrying positions; pairs each element with its next ``max_shift``
+    run-mates. Returns (i, j) int32 arrays of length cap, padded with -1.
+    """
+    codes = forward_codes(words, vwords, k, n_pos_words)  # (16, W)
+    p = jax.lax.broadcasted_iota(jnp.int32, codes.shape, 0)
+    w = jax.lax.broadcasted_iota(jnp.int32, codes.shape, 1)
+    pos = w * 16 + p
+    flat = codes.reshape(-1)
+    posf = pos.reshape(-1)
+    sc, sp = jax.lax.sort((flat, posf), num_keys=1)
+    n = sc.shape[0]
+
+    masks = []
+    ii = []
+    jj = []
+    for s in range(1, max_shift + 1):
+        same = (sc[:-s] == sc[s:]) & (sc[:-s] != SENTINEL)
+        d = sp[s:] - sp[:-s]
+        ad = jnp.abs(d)
+        ok = same & (ad >= mindist) & (ad <= maxdist)
+        pad = jnp.zeros(s, dtype=bool)
+        masks.append(jnp.concatenate([ok, pad]))
+        i_ = jnp.minimum(sp[:-s], sp[s:])
+        j_ = jnp.maximum(sp[:-s], sp[s:])
+        ii.append(jnp.concatenate([i_, jnp.full(s, -1, jnp.int32)]))
+        jj.append(jnp.concatenate([j_, jnp.full(s, -1, jnp.int32)]))
+    mask = jnp.stack(masks).reshape(-1)
+    iarr = jnp.stack(ii).reshape(-1)
+    jarr = jnp.stack(jj).reshape(-1)
+    (sel,) = jnp.where(mask, size=cap, fill_value=mask.shape[0])
+    valid = sel < mask.shape[0]
+    sel_c = jnp.minimum(sel, mask.shape[0] - 1)
+    out_i = jnp.where(valid, iarr[sel_c], -1)
+    out_j = jnp.where(valid, jarr[sel_c], -1)
+    return out_i, out_j
+
+
+def detect_ltr_chrom(
+    chrom,
+    params: dict,
+    tile_bases: int = 1 << 22,
+    overlap: int = 1 << 15,
+    seed_cap: int = 1 << 18,
+) -> list[LTRRecord]:
+    """Detect LTR candidates on one packed chromosome."""
+    k = params["k"]
+    n_pos = tile_bases + overlap
+    n_pos_words = n_pos // 16
+    n_words = n_pos_words + 1
+    prm = {key: params[key] for key in DEFAULT_PARAMS}
+    records: list[LTRRecord] = []
+    for start in range(0, chrom.length, tile_bases):
+        w0 = start // 16
+        words = np.zeros(n_words, dtype=np.int32)
+        vwords = np.zeros(n_words, dtype=np.int32)
+        avail = min(n_words, chrom.packed.shape[0] - w0)
+        if avail <= 0:
+            continue
+        words[:avail] = chrom.packed[w0 : w0 + avail]
+        vwords[:avail] = chrom.vmask[w0 : w0 + avail]
+        si, sj = seed_pairs(
+            words, vwords, k=k, n_pos_words=n_pos_words,
+            mindist=prm["mindistltr"], maxdist=prm["maxdistltr"],
+            cap=seed_cap,
+        )
+        si = np.asarray(si)
+        sj = np.asarray(sj)
+        m = si >= 0
+        si, sj = si[m], sj[m]
+        if si.size == 0:
+            continue
+        codes, valid = unpack_words(words, vwords, n_pos)
+        seq = np.where(valid.astype(bool), codes, np.uint8(4)).astype(np.uint8)
+        cands = native.refine_ltr(seq, si, sj, prm)
+        for c in cands:
+            gstart = int(c["start"]) + start  # 0-based
+            if gstart >= start + tile_bases and start + tile_bases < chrom.length:
+                continue  # owned by the next tile (dedupe across overlaps)
+            gend = int(c["end"]) + start  # 0-based exclusive
+            if gend > chrom.length:
+                continue
+            records.append(
+                LTRRecord(
+                    seq_id=chrom.name,
+                    start=gstart + 1,
+                    end=gend,
+                    lltr=int(c["lltr_len"]),
+                    rltr=int(c["rltr_len"]),
+                    similarity=float(c["similarity"]),
+                    tsd_len=int(c["tsd_len"]),
+                )
+            )
+    return records
+
+
+def detect_ltr(genome: PackedGenome, options: str | None = None, **kw) -> list[LTRRecord]:
+    params = parse_harvest_options(options)
+    all_records: list[LTRRecord] = []
+    for chrom in genome.chroms:
+        recs = detect_ltr_chrom(chrom, params, **kw)
+        logger.info("LTR detection on %s: %d candidates", chrom.name, len(recs))
+        all_records.extend(recs)
+    return all_records

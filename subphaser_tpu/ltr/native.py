@@ -1,0 +1,181 @@
+"""ctypes bindings for the native host library (ltr/_native/native.cpp).
+
+The .so is compiled on demand with g++ the first time it's needed, so the
+package works from a source checkout without a build step.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "_native", "native.cpp")
+_SO = os.path.join(_DIR, "_native", "libsubphaser_native.so")
+_lock = threading.Lock()
+_lib = None
+
+
+class LtrParams(ctypes.Structure):
+    _fields_ = [
+        ("k", ctypes.c_int),
+        ("minlenltr", ctypes.c_int),
+        ("maxlenltr", ctypes.c_int),
+        ("mindistltr", ctypes.c_int),
+        ("maxdistltr", ctypes.c_int),
+        ("similar", ctypes.c_double),
+        ("mintsd", ctypes.c_int),
+        ("maxtsd", ctypes.c_int),
+        ("vic", ctypes.c_int),
+        ("xdrop", ctypes.c_int),
+        ("band", ctypes.c_int),
+        ("max_gap", ctypes.c_int),
+    ]
+
+
+class LtrOut(ctypes.Structure):
+    _fields_ = [
+        ("start", ctypes.c_int32),
+        ("end", ctypes.c_int32),
+        ("lltr_len", ctypes.c_int32),
+        ("rltr_len", ctypes.c_int32),
+        ("similarity", ctypes.c_double),
+        ("tsd_len", ctypes.c_int32),
+    ]
+
+
+class ChainOut(ctypes.Structure):
+    _fields_ = [
+        ("q_start", ctypes.c_int64),
+        ("q_end", ctypes.c_int64),
+        ("t_start", ctypes.c_int64),
+        ("t_end", ctypes.c_int64),
+        ("n_anchors", ctypes.c_int32),
+        ("strand", ctypes.c_int32),
+        ("score", ctypes.c_double),
+    ]
+
+
+def _build() -> None:
+    subprocess.run(
+        ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _SO, _SRC],
+        check=True,
+    )
+
+
+def load():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            _build()
+        lib = ctypes.CDLL(_SO)
+        lib.sp_banded_identity.restype = ctypes.c_double
+        lib.sp_banded_identity.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ]
+        lib.sp_refine_ltr.restype = ctypes.c_int
+        lib.sp_refine_ltr.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.POINTER(LtrParams), ctypes.POINTER(LtrOut),
+            ctypes.c_int64,
+        ]
+        lib.sp_chain_anchors.restype = ctypes.c_int
+        lib.sp_chain_anchors.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ChainOut), ctypes.c_int64,
+        ]
+        lib.sp_nj_tree.restype = ctypes.c_int
+        lib.sp_nj_tree.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int32, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_int64,
+        ]
+        _lib = lib
+        return lib
+
+
+def _u8ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def banded_identity(a: np.ndarray, b: np.ndarray, band: int = 30) -> float:
+    lib = load()
+    a = np.ascontiguousarray(a, dtype=np.uint8)
+    b = np.ascontiguousarray(b, dtype=np.uint8)
+    return lib.sp_banded_identity(_u8ptr(a), a.size, _u8ptr(b), b.size, band)
+
+
+def refine_ltr(seq_codes: np.ndarray, seed_i: np.ndarray, seed_j: np.ndarray,
+               params: dict, out_cap: int = 1 << 16) -> np.ndarray:
+    """seq_codes: uint8 (0..3, >=4 N). Returns structured array of candidates."""
+    lib = load()
+    seq = np.ascontiguousarray(seq_codes, dtype=np.uint8)
+    si = np.ascontiguousarray(seed_i, dtype=np.int32)
+    sj = np.ascontiguousarray(seed_j, dtype=np.int32)
+    prm = LtrParams(**params)
+    out = (LtrOut * out_cap)()
+    n = lib.sp_refine_ltr(
+        _u8ptr(seq), seq.size,
+        si.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        sj.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        si.size, ctypes.byref(prm), out, out_cap,
+    )
+    dtype = np.dtype(
+        [("start", np.int32), ("end", np.int32), ("lltr_len", np.int32),
+         ("rltr_len", np.int32), ("similarity", np.float64), ("tsd_len", np.int32)]
+    )
+    res = np.zeros(n, dtype=dtype)
+    for i in range(n):
+        res[i] = (out[i].start, out[i].end, out[i].lltr_len, out[i].rltr_len,
+                  out[i].similarity, out[i].tsd_len)
+    return res
+
+
+def chain_anchors(qpos: np.ndarray, tpos: np.ndarray, alen: np.ndarray,
+                  strand: int, max_gap: int = 10000, min_chain_len: int = 5000,
+                  min_chain_anchors: int = 5, out_cap: int = 1 << 16) -> np.ndarray:
+    lib = load()
+    q = np.ascontiguousarray(qpos, dtype=np.int64)
+    t = np.ascontiguousarray(tpos, dtype=np.int64)
+    a = np.ascontiguousarray(alen, dtype=np.int32)
+    out = (ChainOut * out_cap)()
+    n = lib.sp_chain_anchors(
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        q.size, strand, max_gap, min_chain_len, min_chain_anchors, out, out_cap,
+    )
+    dtype = np.dtype(
+        [("q_start", np.int64), ("q_end", np.int64), ("t_start", np.int64),
+         ("t_end", np.int64), ("n_anchors", np.int32), ("strand", np.int32),
+         ("score", np.float64)]
+    )
+    res = np.zeros(n, dtype=dtype)
+    for i in range(n):
+        res[i] = (out[i].q_start, out[i].q_end, out[i].t_start, out[i].t_end,
+                  out[i].n_anchors, out[i].strand, out[i].score)
+    return res
+
+
+def nj_tree(dist: np.ndarray, names: list[str]) -> str:
+    lib = load()
+    n = len(names)
+    d = np.ascontiguousarray(dist, dtype=np.float64)
+    blob = b"".join(name.encode() + b"\0" for name in names)
+    cap = 1 << 22
+    out = ctypes.create_string_buffer(cap)
+    r = lib.sp_nj_tree(
+        d.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n, blob, out, cap
+    )
+    if r < 0:
+        raise RuntimeError(f"sp_nj_tree failed: {r}")
+    return out.value.decode()

@@ -1,0 +1,134 @@
+"""LTR subsystem pipeline: detect -> classify -> filter -> resolve overlaps.
+
+Mirrors reference LTRpipeline (LTR.py:303-413). Outputs the .scn candidate
+file, the inner-region fasta, the TEsorter-style .cls.tsv (when a profile
+database is available), and the filtered full-length LTR fasta consumed by
+the k-mer enrichment step.
+"""
+
+from __future__ import annotations
+
+import os
+
+from subphaser_tpu.io.genome import PackedGenome
+from subphaser_tpu.ltr import classify as clsmod
+from subphaser_tpu.ltr.detect import detect_ltr
+from subphaser_tpu.ltr.records import (
+    LTRRecord,
+    group_resolve_overlaps,
+    parse_scn,
+    write_scn,
+)
+from subphaser_tpu.utils.log import logger
+
+
+class LTRPipeline:
+    def __init__(
+        self,
+        genome: PackedGenome,
+        tmpdir: str,
+        harvest_options: str | None = None,
+        hmm_db: str | None = None,
+        all_ltr: bool = False,
+        intact_ltr: bool = False,
+        mu: float = 13e-9,
+        overwrite: bool = False,
+        tile_bases: int = 1 << 22,
+    ):
+        self.genome = genome
+        self.tmpdir = tmpdir
+        self.harvest_options = harvest_options
+        self.hmm_db = hmm_db
+        self.all_ltr = all_ltr
+        self.intact_ltr = intact_ltr and not all_ltr
+        self.mu = mu
+        self.overwrite = overwrite
+        self.tile_bases = tile_bases
+        os.makedirs(tmpdir, exist_ok=True)
+        self.prefix = os.path.join(tmpdir, "LTR")
+        self.int_seqs = self.prefix + ".inner.fa"
+
+    def run(self) -> tuple[list[LTRRecord], str]:
+        scn = self.prefix + ".scn"
+        if os.path.exists(scn) and not self.overwrite:
+            ltrs = parse_scn(scn)
+            logger.info("Loaded %d LTR candidates from checkpoint %s", len(ltrs), scn)
+        else:
+            ltrs = detect_ltr(
+                self.genome, self.harvest_options, tile_bases=self.tile_bases
+            )
+            with open(scn, "w") as f:
+                write_scn(ltrs, f)
+        ltr_count = len(ltrs)
+        logger.info("%d LTRs identified", ltr_count)
+        if ltr_count == 0:
+            return [], ""
+
+        d_seqs = {c.name: c.to_seq() for c in self.genome.chroms}
+        d_class = self.classify(ltrs, d_seqs)
+
+        filtered: list[LTRRecord] = []
+        n_ltr = n_completed = 0
+        for ltr in ltrs:
+            cls = d_class.get(ltr.id)
+            if cls:
+                ltr.order = cls.order
+                ltr.superfamily = cls.superfamily
+                ltr.clade = cls.clade
+                ltr.completed = cls.completed
+                ltr.strand = cls.strand
+                ltr.domains = cls.domains
+            if ltr.order == "LTR":
+                n_ltr += 1
+            if ltr.completed == "yes":
+                n_completed += 1
+            if self.all_ltr:
+                pass
+            elif d_class and ltr.order != "LTR":
+                continue
+            elif self.intact_ltr and ltr.completed != "yes":
+                continue
+            filtered.append(ltr)
+        if d_class:
+            logger.info(
+                "Classified: %d (%.1f%%) are LTR order, %d intact with complete "
+                "protein domains",
+                n_ltr, 100.0 * n_ltr / max(ltr_count, 1), n_completed,
+            )
+
+        ltrs_resolved = group_resolve_overlaps(filtered)
+        logger.info(
+            "After filtering, %d / %d (%.1f%%) LTRs retained",
+            len(ltrs_resolved), ltr_count, 100.0 * len(ltrs_resolved) / ltr_count,
+        )
+        ltr_seqs = self.prefix + ".filtered.LTR.fa"
+        with open(ltr_seqs, "w") as f:
+            for ltr in ltrs_resolved:
+                seq = ltr.get_full_seq(d_seqs[ltr.seq_id])
+                f.write(f">{ltr.id}\n{seq}\n")
+        return ltrs_resolved, ltr_seqs
+
+    def classify(self, ltrs, d_seqs) -> dict:
+        """TEsorter-equivalent classification; {} when no profile db."""
+        with open(self.int_seqs, "w") as f:
+            for ltr in ltrs:
+                f.write(f">{ltr.id}\n{ltr.get_int_seq(d_seqs[ltr.seq_id])}\n")
+        if not self.hmm_db or not os.path.exists(self.hmm_db):
+            if not self.all_ltr:
+                logger.warning(
+                    "No LTR protein-domain HMM database provided (-hmm_db); "
+                    "falling back to -all_ltr behavior (all detected LTRs kept). "
+                    "Point -hmm_db at a REXdb-style HMMER3 file to enable "
+                    "classification."
+                )
+                self.all_ltr = True
+            return {}
+        elements = [
+            (ltr.id, ltr.get_int_seq(d_seqs[ltr.seq_id])) for ltr in ltrs
+        ]
+        d_class = clsmod.classify_elements(elements, self.hmm_db)
+        cls_file = self.int_seqs + ".cls.tsv"
+        with open(cls_file, "w") as f:
+            clsmod.write_cls_tsv(d_class, f)
+        logger.info("Wrote classification %s", cls_file)
+        return d_class

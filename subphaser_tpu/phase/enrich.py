@@ -94,7 +94,7 @@ def enrich_rows(
     minp = pvals[rows_r, min_idx]
     subp = pvals[rows_r, sub_idx]
     sig = minp <= max_pval
-    with np.errstate(divide="ignore", invalid="ignore"):
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         # separation gate (Stats.py:188-191): skipped when minp == 0
         gate = np.where(minp > 0, (subp / minp) >= (max_pval / subp) * cutoff, True)
     sig &= gate

@@ -45,6 +45,7 @@ class Pipeline:
             nsg=None, replicates=1000, jackknife=50, max_pval=0.05,
             test_method="ttest_ind", figfmt="pdf", just_core=False,
             disable_ltr=False, ltr_detectors=["ltr_harvest"], all_ltr=False,
+            hmm_db=None,
             intact_ltr=False, exclude_exchanges=False, non_specific=False,
             mu=13e-9, disable_ltrtree=False, subsample=1000,
             ltr_domains=["INT", "RT", "RH"], tree_method="FastTree",
@@ -311,7 +312,97 @@ class Pipeline:
             logger.info("\t%d %s-specific features", count, sg)
 
     def _step_ltr(self, sig: SigKmers):
-        raise NotImplementedError
+        """LTR detection, SG enrichment, insertion-age plots, trees.
+
+        Mirrors reference Pipeline.step_ltr (__main__.py:549-648).
+        """
+        from subphaser_tpu.ltr.age import plot_insert_age
+        from subphaser_tpu.ltr.pipeline import LTRPipeline
+
+        logger.info("###Step: LTR")
+        ltr_tmp = os.path.join(self.tmpdir, "LTR")
+        lpipe = LTRPipeline(
+            self.genome,
+            tmpdir=ltr_tmp,
+            harvest_options=self.ltr_harvest_options,
+            hmm_db=getattr(self, "hmm_db", None),
+            all_ltr=self.all_ltr,
+            intact_ltr=self.intact_ltr,
+            mu=self.mu,
+            overwrite=self.overwrite,
+        )
+        ltrs, ltr_fa = lpipe.run()
+        if not ltrs:
+            logger.warning("No LTR-RTs detected; skipping LTR analyses")
+            return [], []
+
+        # map SG-specific k-mers onto LTR sequences (reference __main__.py:567-578)
+        d_seqs = {c.name: c.to_seq() for c in self.genome.chroms}
+        records = [(ltr.id, ltr.get_full_seq(d_seqs[ltr.seq_id])) for ltr in ltrs]
+        pack = FeaturePack.build(records, self.k)
+        counts = pack.map_counts(sig, self.k)
+        lens = {name: len(seq) for name, seq in records}
+        ltr_map = self.para_prefix + ".ltr.bin.count"
+        with open(ltr_map, "w") as f:
+            f.write("\t".join(["#chrom", "start", "end"] + self.sg_names) + "\n")
+            for name, row in zip(pack.names, counts):
+                if row.sum() == 0:
+                    continue  # only mapped LTRs are output (reference)
+                f.write(
+                    f"{name}\t0\t{min(10000000, lens[name])}\t"
+                    + "\t".join(str(int(v)) for v in row) + "\n"
+                )
+        logger.info("Wrote %s", ltr_map)
+
+        logger.info("Enriching subgenome-specific LTR-RTs")
+        keep = counts.sum(axis=1) > 0
+        ltr_enrich = self.para_prefix + ".ltr.enrich"
+        with open(ltr_enrich, "w") as f:
+            d_enriched, d_exchange = enrichmod.enrich_features(
+                f, self.d_sg, counts[keep],
+                self.sg_names, [n for n, k_ in zip(pack.names, keep) if k_],
+                max_pval=self.max_pval,
+            )
+        logger.info("Output: %s", ltr_enrich)
+        logger.info("%d significant subgenome-specific LTR-RTs", len(d_enriched))
+        for sg, count in sorted(Counter(d_enriched.values()).items()):
+            logger.info("\t%d %s-specific LTR-RTs", count, sg)
+
+        d_colors = self.sg_color.for_names(self.sg_names)
+        enrich_ltrs = []
+        if d_enriched:
+            prefix = self.para_prefix + ".ltr.insert"
+            enrich_ltrs = plot_insert_age(
+                ltrs, d_enriched, prefix,
+                mu=self.mu, exclude_exchanges=self.exclude_exchanges,
+                d_exchange=d_exchange, non_specific=self.non_specific,
+                figfmt=self.figfmt, d_colors=d_colors,
+            )
+        else:
+            logger.warning(
+                "Because of none subgenome-specific LTR-RTs, plots of LTR-RTs "
+                "are skipped."
+            )
+
+        if not self.disable_ltrtree and enrich_ltrs:
+            try:
+                from subphaser_tpu.ltr.tree import build_ltr_trees
+
+                build_ltr_trees(
+                    enrich_ltrs, d_seqs, self.para_prefix,
+                    domains=self.ltr_domains, subsample=self.subsample,
+                    exclude_exchanges=self.exclude_exchanges,
+                    d_colors=d_colors, figfmt=self.figfmt,
+                )
+            except Exception as e:
+                logger.warning("LTR tree step failed: %s", e)
+
+        ltr_bedlines = [ltr.to_bed() for ltr in ltrs]
+        d_bed = {}
+        for ltr in enrich_ltrs:
+            d_bed.setdefault(ltr.sg, []).append(ltr.to_bed())
+        enrich_ltr_bedlines = [v for _k, v in sorted(d_bed.items()) if v]
+        return ltr_bedlines, enrich_ltr_bedlines
 
     def _step_circos(self, acc, ltr_bedlines, enrich_ltr_bedlines):
         raise NotImplementedError

@@ -16,7 +16,8 @@ import sys
 import numpy as np
 
 
-def make_genome(outdir: str, n_sets: int = 4, chrom_size: int = 150_000, seed: int = 0):
+def make_genome(outdir: str, n_sets: int = 4, chrom_size: int = 150_000, seed: int = 0,
+                with_ltr: bool = False):
     from subphaser_tpu.io.fasta import write_fasta
 
     rng = np.random.default_rng(seed)
@@ -24,8 +25,26 @@ def make_genome(outdir: str, n_sets: int = 4, chrom_size: int = 150_000, seed: i
     def rand_seq(n):
         return "".join(rng.choice(list("ACGT"), size=n))
 
+    def mutate(s, rate):
+        out = []
+        for ch in s:
+            if rng.random() < rate:
+                out.append(rng.choice([c for c in "ACGT" if c != ch]))
+            else:
+                out.append(ch)
+        return "".join(out)
+
     rep = {"A": rand_seq(120), "B": rand_seq(120)}
     shared = rand_seq(120)
+    # subgenome-specific LTR families: the LTR itself carries SG-specific
+    # sequence so phased k-mers map onto the elements
+    ltr_fam = {sg: rand_seq(350) for sg in "AB"}
+    ltr_int = {sg: rand_seq(2000) for sg in "AB"}
+
+    def ltr_element(sg):
+        ltr = mutate(ltr_fam[sg], 0.02)
+        tsd = rand_seq(5)
+        return tsd + ltr + mutate(ltr_int[sg], 0.02) + mutate(ltr, 0.04) + tsd
 
     def chrom(sg):
         s = list(rand_seq(chrom_size))
@@ -38,6 +57,12 @@ def make_genome(outdir: str, n_sets: int = 4, chrom_size: int = 150_000, seed: i
         for _ in range(10):
             p = rng.integers(0, chrom_size - 60)
             s[p : p + 50] = list("N" * 50)
+        if with_ltr:
+            n_elem = max(3, chrom_size // 40_000)
+            for e in range(n_elem):
+                el = ltr_element(sg)
+                p = rng.integers(0, chrom_size - len(el) - 1)
+                s[p : p + len(el)] = list(el)
         return "".join(s)
 
     records = []

@@ -1,0 +1,164 @@
+"""LTR subsystem tests: native lib, detection, records, age, classification."""
+
+import io
+import math
+
+import numpy as np
+import pytest
+
+from subphaser_tpu.io.genome import PackedGenome
+from subphaser_tpu.ltr import native
+from subphaser_tpu.ltr.detect import detect_ltr, parse_harvest_options
+from subphaser_tpu.ltr.records import (
+    LTRRecord,
+    parse_scn,
+    resolve_overlaps,
+    write_scn,
+)
+from tests.test_encoding import random_seq
+
+
+def _mutate(rng, s, rate):
+    out = []
+    for ch in s:
+        if rng.random() < rate:
+            out.append(rng.choice([c for c in "ACGT" if c != ch]))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def make_element(rng, ltr_len=400, internal_len=3000, div=0.05, tsd_len=5):
+    ltr = random_seq(rng, ltr_len)
+    tsd = random_seq(rng, tsd_len)
+    element = ltr + random_seq(rng, internal_len) + _mutate(rng, ltr, div)
+    return tsd + element + tsd, len(tsd), len(element)
+
+
+def test_banded_identity():
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 4, 300).astype(np.uint8)
+    ident = native.banded_identity(a, a)
+    assert ident == 1.0
+    b = a.copy()
+    b[::10] = (b[::10] + 1) % 4
+    ident2 = native.banded_identity(a, b)
+    assert 0.85 <= ident2 <= 0.92
+
+
+def test_detect_planted_elements():
+    rng = np.random.default_rng(1)
+    parts = [random_seq(rng, 15000)]
+    expected = []
+    pos = 15000
+    for _ in range(3):
+        block, tsd_len, elem_len = make_element(rng)
+        expected.append((pos + tsd_len, pos + tsd_len + elem_len))
+        parts.append(block)
+        parts.append(random_seq(rng, 18000))
+        pos += len(block) + 18000
+    seq = "".join(parts)
+    g = PackedGenome.from_dict({"c1": seq})
+    recs = detect_ltr(g, tile_bases=1 << 16)
+    assert len(recs) >= 3
+    for es, ee in expected:
+        hits = [r for r in recs if abs(r.start - 1 - es) <= 10 and abs(r.end - ee) <= 10]
+        assert hits, f"element at {es}-{ee} not found"
+        r = hits[0]
+        assert 380 <= r.lltr <= 420
+        assert 85 <= r.similarity <= 100
+
+
+def test_detect_across_tile_boundary():
+    rng = np.random.default_rng(2)
+    block, tsd_len, elem_len = make_element(rng)
+    tile = 1 << 16
+    seq = random_seq(rng, tile - 2000) + block + random_seq(rng, 8000)
+    g = PackedGenome.from_dict({"c1": seq})
+    recs = detect_ltr(g, tile_bases=tile)
+    es = tile - 2000 + tsd_len
+    hits = [r for r in recs if abs(r.start - 1 - es) <= 10]
+    assert hits, "element spanning tile boundary missed"
+    assert len(hits) == 1, "element found twice (overlap dedupe failed)"
+
+
+def test_scn_roundtrip_and_record_model():
+    r = LTRRecord(seq_id="chr1", start=1001, end=5000, lltr=400, rltr=395,
+                  similarity=92.5, seq_nr=0)
+    assert r.element_len == 4000
+    assert r.lltr_e == 1400
+    assert r.rltr_s == 4606
+    assert r.id == "chr1:1001-5000:1400-4606"
+    f = io.StringIO()
+    write_scn([r], f)
+    f.seek(0)
+    import tempfile, os
+    with tempfile.NamedTemporaryFile("w", suffix=".scn", delete=False) as tf:
+        tf.write(f.getvalue())
+        path = tf.name
+    recs = parse_scn(path)
+    os.unlink(path)
+    assert len(recs) == 1
+    assert recs[0].key == r.key
+    assert recs[0].similarity == 92.5
+
+
+def test_estimate_age_jc69():
+    r = LTRRecord("c", 1, 1000, 100, 100, similarity=95.0)
+    div = 0.05
+    expected = (-3 / 4 * math.log(1 - 4 * div / 3)) / (2 * 1.3e-8)
+    assert r.estimate_age(mu=1.3e-8) == pytest.approx(expected)
+    # saturated divergence
+    r2 = LTRRecord("c", 1, 1000, 100, 100, similarity=20.0)
+    assert r2.estimate_age(mu=1e-8) == pytest.approx(0.8 / 2e-8)
+
+
+def test_resolve_overlaps_prefers_completed_then_longer():
+    a = LTRRecord("c", 100, 5000, 300, 300, 90.0)
+    b = LTRRecord("c", 200, 4000, 300, 300, 91.0)  # overlaps a, shorter
+    out = resolve_overlaps([a, b])
+    assert out == [a]
+    b.completed = "yes"
+    out = resolve_overlaps([a, b])
+    assert out == [b]
+    c = LTRRecord("c", 9000, 12000, 300, 300, 88.0)  # no overlap
+    out = resolve_overlaps([a, b, c])
+    assert set(r.key for r in out) == {b.key, c.key}
+
+
+def test_parse_harvest_options():
+    p = parse_harvest_options("-seqids yes -similar 85 -minlenltr 120 -maxtsd 8")
+    assert p["similar"] == 85.0
+    assert p["minlenltr"] == 120
+    assert p["maxtsd"] == 8
+    assert p["maxlenltr"] == 7000  # default kept
+
+
+def test_nj_tree_topology():
+    # 4 taxa with additive distances; check siblings group together
+    names = ["a", "b", "c", "d"]
+    d = np.array([
+        [0, 2, 9, 9],
+        [2, 0, 9, 9],
+        [9, 9, 0, 2],
+        [9, 9, 2, 0],
+    ], dtype=float)
+    t = native.nj_tree(d, names)
+    assert t.endswith(";")
+    # a,b adjacent and c,d adjacent in the newick
+    import re
+    pairs = re.findall(r"\(([a-d]):[\d.]+,([a-d]):[\d.]+\)", t)
+    flat = {frozenset(p) for p in pairs}
+    assert frozenset({"a", "b"}) in flat or frozenset({"c", "d"}) in flat
+
+
+def test_classify_translate():
+    from subphaser_tpu.ltr.classify import parse_rexdb_name, six_frames, translate
+
+    assert translate("ATGGCT") == "MA"
+    frames = six_frames("ATGGCTAAA")
+    assert len(frames) == 6
+    o, sf, cl, dom = parse_rexdb_name("Class_I/LTR/Ty1_copia/Ale/RT")
+    assert o == "LTR" and sf == "Copia" and cl == "Ale" and dom == "RT"
+    o, sf, cl, dom = parse_rexdb_name("Class_I/LTR/Ty3_gypsy/chromovirus/CRM:INT")
+    assert sf == "Gypsy" and dom == "INT" and cl == "CRM"
