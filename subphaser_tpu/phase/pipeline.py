@@ -405,7 +405,42 @@ class Pipeline:
         return ltr_bedlines, enrich_ltr_bedlines
 
     def _step_circos(self, acc, ltr_bedlines, enrich_ltr_bedlines):
-        raise NotImplementedError
+        """Homoeologous blocks + multi-ring circos figure.
+
+        Mirrors reference Pipeline.step_circos/step_blocks
+        (__main__.py:679-713).
+        """
+        from subphaser_tpu.viz.circos import circos_plot
+
+        logger.info("###Step: Circos")
+        pafs = []
+        if not self.disable_blocks:
+            from subphaser_tpu.blocks.align import run_align
+
+            blocks_dir = os.path.join(self.tmpdir, "Blocks")
+            pafs, _offsets = run_align(
+                self.alt_sgs, self.genome, blocks_dir,
+                min_block=self.min_block, k=min(self.k, 15),
+            )
+
+        names = self.chrom_labels
+        if self.chr_order:
+            names = [c for c in self.chr_order if c in set(self.chrom_labels)]
+        chrom_sizes = {n: self.genome.chrom(n).length for n in names}
+        d_colors = self.sg_color.for_names(self.sg_names)
+        bin_counts = {
+            n: acc.per_chrom[self.chrom_labels.index(n)] for n in names
+        }
+        outfig = self.para_prefix + ".circos." + self.figfmt
+        legend = self.para_prefix + ".circos.legend.txt"
+        circos_plot(
+            chrom_sizes, self.d_sg, self.sg_names, d_colors,
+            bin_counts, BIN_SIZE, self.window_size, outfig,
+            enrich_lines=getattr(self, "sg_lines", None),
+            ltr_bedlines=ltr_bedlines,
+            pafs=pafs, min_block=self.min_block, legend_file=legend,
+        )
+        logger.info("Wrote %s", outfig)
 
     def _plot_core_figures(self, res, cluster: PhaseCluster, sig: SigKmers):
         d_colors = self.sg_color.for_names(self.sg_names)

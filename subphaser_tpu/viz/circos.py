@@ -1,0 +1,208 @@
+"""Circos-style multi-ring genome figure in matplotlib (replaces the Perl
+circos + conf-tree pipeline, reference Circos.py:236-842).
+
+Rings, outermost first (matching reference circos_plot's track order,
+Circos.py:469-546):
+1. karyotype: chromosome arcs colored by assigned subgenome, with labels
+2. window enrichment band: each window colored by its enriched subgenome
+   (white where not significant)
+3. one density ring per subgenome: specific-k-mer counts per window,
+   99th-percentile trimmed (reference stack_bed_density + abnormal,
+   Circos.py:777-806, 973-980)
+4. LTR density ring (all detected LTRs per window)
+5. center: homoeologous block links from PAF, colored by the query
+   chromosome's subgenome
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+from matplotlib import pyplot as plt  # noqa: E402
+from matplotlib.path import Path  # noqa: E402
+from matplotlib.patches import PathPatch  # noqa: E402
+
+
+def _arc(a0: float, a1: float) -> np.ndarray:
+    """Theta samples dense enough that fills render as arcs, not chords."""
+    n = max(2, int(abs(a1 - a0) / 0.02) + 2)
+    return np.linspace(a0, a1, n)
+
+
+def _trim_upper(values: np.ndarray, pct: float = 99.0) -> np.ndarray:
+    """Clamp outliers like the reference's `abnormal` upper cutoff."""
+    if values.size == 0:
+        return values
+    upper = np.percentile(values[values > 0], pct) if (values > 0).any() else 1.0
+    return np.minimum(values, max(upper, 1e-9))
+
+
+class CircosLayout:
+    def __init__(self, chrom_sizes: dict[str, int], gap_deg: float = 1.5):
+        self.names = list(chrom_sizes)
+        self.sizes = chrom_sizes
+        n = len(self.names)
+        total = sum(chrom_sizes.values())
+        gap = math.radians(gap_deg)
+        span = 2 * math.pi - n * gap
+        self.start = {}
+        self.width = {}
+        theta = 0.0
+        for name in self.names:
+            w = span * chrom_sizes[name] / total
+            self.start[name] = theta
+            self.width[name] = w
+            theta += w + gap
+
+    def angle(self, chrom: str, pos: float) -> float:
+        return self.start[chrom] + self.width[chrom] * (
+            pos / max(self.sizes[chrom], 1)
+        )
+
+
+def circos_plot(
+    chrom_sizes: dict[str, int],
+    d_sg: dict[str, str],
+    sg_names: list[str],
+    d_colors: dict[str, str],
+    bin_counts: dict[str, np.ndarray],  # chrom -> (nbins, n_sg) fine bins
+    bin_size: int,
+    window_size: int,
+    outfig: str,
+    enrich_lines: list | None = None,   # rows from enrich_bin
+    ltr_bedlines: list | None = None,   # [chrom, start, end, id]
+    pafs: list[str] | None = None,
+    min_block: int = 100_000,
+    legend_file: str | None = None,
+):
+    layout = CircosLayout(chrom_sizes)
+    fig = plt.figure(figsize=(10, 10), dpi=200)
+    ax = fig.add_subplot(111, polar=True)
+    ax.set_axis_off()
+    ax.set_theta_zero_location("N")
+    ax.set_theta_direction(-1)
+    ax.set_ylim(0, 1.12)
+
+    # ---- ring 1: karyotype -------------------------------------------
+    r0, r1 = 1.0, 1.05
+    for name in layout.names:
+        th = np.linspace(layout.start[name], layout.start[name] + layout.width[name], 64)
+        color = d_colors.get(d_sg.get(name), "#cccccc")
+        ax.fill_between(th, r0, r1, color=color, lw=0)
+        mid = layout.start[name] + layout.width[name] / 2
+        deg = math.degrees(mid)
+        rot = -deg if deg <= 180 else 180 - deg
+        ax.text(mid, 1.09, name, ha="center", va="center", fontsize=8,
+                rotation=rot, rotation_mode="anchor")
+
+    # ---- ring 2: enrichment band -------------------------------------
+    r0, r1 = 0.945, 0.99
+    if enrich_lines:
+        for line in enrich_lines:
+            chrom, start, end, key = line[0], line[1], line[2], line[3]
+            if chrom not in layout.start or key is None:
+                continue
+            a0 = layout.angle(chrom, start)
+            a1 = layout.angle(chrom, min(end, chrom_sizes[chrom]))
+            ax.fill_between(_arc(a0, a1), r0, r1,
+                            color=d_colors.get(key, "#999999"), lw=0)
+
+    # ---- density rings per subgenome ---------------------------------
+    factor = max(window_size // bin_size, 1)
+    ring_h = 0.055
+    base = 0.94
+    windows = {}
+    for name, arr in bin_counts.items():
+        nb = arr.shape[0]
+        nw = -(-nb // factor)
+        pad = nw * factor - nb
+        a = arr
+        if pad:
+            a = np.concatenate([a, np.zeros((pad, arr.shape[1]), arr.dtype)])
+        windows[name] = a.reshape(nw, factor, arr.shape[1]).sum(axis=1)
+    for si, sg in enumerate(sg_names):
+        r_top = base - si * ring_h
+        r_bot = r_top - ring_h + 0.008
+        all_vals = np.concatenate(
+            [w[:, si].astype(float) for w in windows.values()]
+        ) if windows else np.zeros(0)
+        all_vals = _trim_upper(all_vals)
+        vmax = all_vals.max() if all_vals.size and all_vals.max() > 0 else 1.0
+        color = d_colors.get(sg, "#777777")
+        for name, w in windows.items():
+            vals = np.minimum(w[:, si].astype(float), vmax)
+            for wi, v in enumerate(vals):
+                if v <= 0:
+                    continue
+                a0 = layout.angle(name, wi * window_size)
+                a1 = layout.angle(name, min((wi + 1) * window_size, chrom_sizes[name]))
+                h = (r_top - r_bot) * (v / vmax)
+                ax.fill_between(_arc(a0, a1), r_bot, r_bot + h, color=color, lw=0)
+        ax.text(-0.04, (r_top + r_bot) / 2, sg, fontsize=6, ha="right",
+                color=color)
+
+    # ---- LTR density ring --------------------------------------------
+    inner = base - len(sg_names) * ring_h
+    if ltr_bedlines:
+        r_top = inner
+        r_bot = inner - ring_h + 0.008
+        dens: dict[str, np.ndarray] = {
+            name: np.zeros(-(-size // window_size))
+            for name, size in chrom_sizes.items()
+        }
+        for chrom, start, _end, *_ in ltr_bedlines:
+            if chrom in dens:
+                dens[chrom][int(start) // window_size] += 1
+        vals_all = _trim_upper(np.concatenate(list(dens.values())))
+        vmax = vals_all.max() if vals_all.size and vals_all.max() > 0 else 1.0
+        for name, vals in dens.items():
+            vals = np.minimum(vals, vmax)
+            for wi, v in enumerate(vals):
+                if v <= 0:
+                    continue
+                a0 = layout.angle(name, wi * window_size)
+                a1 = layout.angle(name, min((wi + 1) * window_size, chrom_sizes[name]))
+                h = (r_top - r_bot) * (v / vmax)
+                ax.fill_between(_arc(a0, a1), r_bot, r_bot + h,
+                                color="#555555", lw=0)
+        inner = r_bot - 0.01
+
+    # ---- block links --------------------------------------------------
+    if pafs:
+        from subphaser_tpu.blocks.paf import primary_blocks
+
+        for path in pafs:
+            for rec in primary_blocks(path, min_block=min_block):
+                if rec.qname not in layout.start or rec.tname not in layout.start:
+                    continue
+                a_q = layout.angle(rec.qname, (rec.qstart + rec.qend) / 2)
+                a_t = layout.angle(rec.tname, (rec.tstart + rec.tend) / 2)
+                color = d_colors.get(d_sg.get(rec.qname), "#999999")
+                verts = [(a_q, inner), (0, 0), (a_t, inner)]
+                codes = [Path.MOVETO, Path.CURVE3, Path.CURVE3]
+                ax.add_patch(
+                    PathPatch(Path(verts, codes), fill=False, lw=0.7,
+                              edgecolor=color, alpha=0.5)
+                )
+
+    fig.savefig(outfig, bbox_inches="tight")
+    plt.close(fig)
+
+    if legend_file:
+        with open(legend_file, "w") as f:
+            f.write("Circos tracks, outermost to innermost:\n")
+            f.write("1. Karyotype colored by assigned subgenome\n")
+            f.write("2. Window enrichment: significantly enriched subgenome per "
+                    f"{window_size} bp window\n")
+            for i, sg in enumerate(sg_names):
+                f.write(f"{3 + i}. {sg}-specific k-mer density per window\n")
+            if ltr_bedlines:
+                f.write(f"{3 + len(sg_names)}. LTR-RT density per window\n")
+            if pafs:
+                f.write("center: homoeologous blocks colored by query "
+                        "chromosome subgenome\n")

@@ -46,8 +46,10 @@ def make_genome(outdir: str, n_sets: int = 4, chrom_size: int = 150_000, seed: i
         tsd = rand_seq(5)
         return tsd + ltr + mutate(ltr_int[sg], 0.02) + mutate(ltr, 0.04) + tsd
 
-    def chrom(sg):
-        s = list(rand_seq(chrom_size))
+    def chrom(sg, ancestor):
+        # homoeologs = diverged copies of a shared ancestor (like real
+        # subgenomes), plus SG-specific repeat amplification on top
+        s = list(mutate(ancestor, 0.08))
         for _ in range(max(20, chrom_size // 2000)):
             p = rng.integers(0, chrom_size - 130)
             s[p : p + 120] = list(rep[sg])
@@ -67,8 +69,9 @@ def make_genome(outdir: str, n_sets: int = 4, chrom_size: int = 150_000, seed: i
 
     records = []
     for i in range(1, n_sets + 1):
-        records.append((f"CMA{i}.1", chrom("A")))
-        records.append((f"CMB{i}.1", chrom("B")))
+        ancestor = rand_seq(chrom_size)
+        records.append((f"CMA{i}.1", chrom("A", ancestor)))
+        records.append((f"CMB{i}.1", chrom("B", ancestor)))
     os.makedirs(outdir, exist_ok=True)
     write_fasta(os.path.join(outdir, "genome.fa.gz"), records)
 

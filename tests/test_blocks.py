@@ -1,0 +1,109 @@
+"""Homoeologous block alignment + PAF model tests."""
+
+import numpy as np
+import pytest
+
+from subphaser_tpu.blocks.paf import PafRecord, parse_paf, primary_blocks
+from subphaser_tpu.io.genome import PackedGenome
+from tests.test_encoding import random_seq
+
+
+def _mutate(rng, s, rate):
+    out = []
+    for ch in s:
+        if rng.random() < rate:
+            out.append(rng.choice([c for c in "ACGT" if c != ch]))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def revcomp(s):
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    return "".join(comp[c] for c in reversed(s))
+
+
+@pytest.fixture(scope="module")
+def homoeologs():
+    rng = np.random.default_rng(0)
+    anc = random_seq(rng, 120_000)
+    a = _mutate(rng, anc, 0.05)
+    b = _mutate(rng, anc, 0.05)
+    unrelated = random_seq(rng, 120_000)
+    return PackedGenome.from_dict({"qa": a, "tb": b, "un": unrelated}), rng
+
+
+def test_align_homoeolog_pair(homoeologs):
+    from subphaser_tpu.blocks.align import align_pair
+
+    genome, _ = homoeologs
+    recs = align_pair(genome, "qa", "tb", min_block=10_000)
+    assert recs, "no blocks found between homoeologs"
+    total = sum(r.qspan for r in recs)
+    assert total > 80_000, f"only {total} bp covered"
+    assert all(r.strand == "+" for r in recs)
+    # coordinates roughly diagonal (same ancestor, no rearrangement)
+    for r in recs:
+        assert abs(r.qstart - r.tstart) < 5_000
+
+
+def test_align_unrelated_pair_empty(homoeologs):
+    from subphaser_tpu.blocks.align import align_pair
+
+    genome, _ = homoeologs
+    recs = align_pair(genome, "qa", "un", min_block=10_000)
+    assert len(recs) == 0
+
+
+def test_align_inverted_segment():
+    from subphaser_tpu.blocks.align import align_pair
+
+    rng = np.random.default_rng(3)
+    anc = random_seq(rng, 60_000)
+    seg = random_seq(rng, 40_000)
+    a = anc + seg
+    b = _mutate(rng, anc, 0.03) + revcomp(_mutate(rng, seg, 0.03))
+    genome = PackedGenome.from_dict({"q": a, "t": b})
+    recs = align_pair(genome, "q", "t", min_block=10_000)
+    strands = {r.strand for r in recs}
+    assert strands == {"+", "-"}
+    minus = [r for r in recs if r.strand == "-"][0]
+    assert minus.qstart >= 55_000  # inverted segment is the tail
+    assert minus.tstart >= 55_000
+
+
+def test_paf_roundtrip(tmp_path):
+    rec = PafRecord("q", 1000, 10, 900, "+", "t", 2000, 100, 990, 800, 890, 60,
+                    tags={"tp": "P", "cm": 42})
+    line = rec.to_line()
+    back = PafRecord.parse(line)
+    assert back.qname == "q" and back.tags["cm"] == 42 and back.is_primary
+    p = tmp_path / "x.paf"
+    p.write_text(line + "\n" + line.replace("tp:A:P", "tp:A:S") + "\n")
+    assert len(list(parse_paf(str(p)))) == 2
+    prim = list(primary_blocks(str(p), min_block=500))
+    assert len(prim) == 1
+
+
+def test_circos_plot_smoke(tmp_path):
+    from subphaser_tpu.viz.circos import circos_plot
+
+    rng = np.random.default_rng(0)
+    sizes = {"A1": 100_000, "B1": 100_000}
+    d_sg = {"A1": "SG1", "B1": "SG2"}
+    colors = {"SG1": "#e41a1c", "SG2": "#377eb8"}
+    bins = {
+        n: rng.integers(0, 20, size=(10, 2)).astype(np.int64) for n in sizes
+    }
+    out = str(tmp_path / "circos.png")
+    circos_plot(
+        sizes, d_sg, ["SG1", "SG2"], colors, bins, bin_size=10_000,
+        window_size=20_000, outfig=out,
+        enrich_lines=[["A1", 0, 20_000, "SG1"], ["B1", 0, 20_000, "SG2"]],
+        ltr_bedlines=[["A1", 5_000, 9_000, "x"]],
+        legend_file=str(tmp_path / "legend.txt"),
+    )
+    import os
+
+    assert os.path.getsize(out) > 10_000
+    assert "Karyotype" in (tmp_path / "legend.txt").read_text()
