@@ -146,45 +146,146 @@ def load_hmm_db(path: str) -> list[Profile]:
     return profiles
 
 
-def viterbi_local(seq_idx: np.ndarray, prof: Profile) -> float:
-    """Smith-Waterman-flavored local Viterbi score (nats).
+_NEG = -1e30
 
-    Vectorized over profile positions per residue; free entry/exit into any
-    match state (hmmsearch-style local mode, simplified).
+
+def viterbi_local(seq_idx: np.ndarray, prof: Profile) -> float:
+    """Smith-Waterman-flavored local Viterbi score (nats), numpy reference.
+
+    Free entry/exit into any match state (hmmsearch-style local mode,
+    simplified). The delete-state column recurrence is closed-form:
+    run_k = S[k] + cummax(vm[j-1] + tmd[j-1] - S[j]) with S = cumsum(tdd).
     """
     m = prof.length
     if seq_idx.size == 0 or m == 0:
         return 0.0
     ms = prof.match_scores  # (M+1, 20)
-    neg = -1e30
-    vm = np.full(m + 1, neg)
-    vi = np.full(m + 1, neg)
-    vd = np.full(m + 1, neg)
+    tmd = np.maximum(prof.tmd, _NEG)
+    tdd = np.maximum(prof.tdd, _NEG)
+    s_cum = np.concatenate([[0.0], np.cumsum(np.maximum(tdd[1:m], _NEG))])  # S[1..m]-ish
+    vm = np.full(m + 1, _NEG)
+    vi = np.full(m + 1, _NEG)
+    vd = np.full(m + 1, _NEG)
     best = 0.0
     for x in seq_idx:
-        emit = ms[1:, x]  # (M,)
+        emit = ms[1:, x]
         prev_m = vm.copy()
         prev_i = vi.copy()
-        # delete states first (within previous column)
-        # match: from M(k-1), I(k-1), D(k-1), or fresh local start (0)
         cand = np.maximum(
             np.maximum(prev_m[:-1] + prof.tmm[:-1], prev_i[:-1] + prof.tim[:-1]),
             vd[:-1] + prof.tdm[:-1],
         )
         cand = np.maximum(cand, 0.0)  # local start
-        vm[1:] = cand + emit
-        vm[0] = neg
-        # insert: stay in k
+        vm = np.concatenate([[_NEG], cand + emit])
         vi = np.maximum(prev_m + prof.tmi, prev_i + prof.tii)
-        # delete: sequential along k within the column
-        vd_new = np.full(m + 1, neg)
-        run = neg
-        for k in range(1, m + 1):
-            run = max(vm[k - 1] + prof.tmd[k - 1], run + prof.tdd[k - 1])
-            vd_new[k] = run
-        vd = vd_new
+        # vd[k] = S[k-1] + max_{j<=k-1}(vm[j] + tmd[j] - S[j-1]) for k>=1
+        b = vm[:m] + tmd[:m] - np.concatenate([[0.0], s_cum[:-1]])
+        vd = np.concatenate(
+            [[_NEG], np.maximum.accumulate(b) + np.concatenate([[0.0], s_cum[:-1]])]
+        )
         best = max(best, float(vm.max()))
     return best
+
+
+def _viterbi_scan_batch():
+    """Jitted scan-over-residues Viterbi, vmapped over stacked profiles."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(seq_idx, n_valid, ms, tmm, tmi, tim, tii, tdm, tmd_shift, s_shift):
+        # ms: (P, M, 20) match log-odds for nodes 1..M (padded with _NEG)
+        # tmd_shift/s_shift: precomputed vm->delete helpers, (P, M)
+        p, m, _ = ms.shape
+
+        def step(carry, xi):
+            vm, vi, vd, best = carry
+            x, valid = xi
+            emit = ms[:, :, x]  # (P, M)
+            cand = jnp.maximum(
+                jnp.maximum(vm[:, :-1] + tmm[:, :-1], vi[:, :-1] + tim[:, :-1]),
+                vd[:, :-1] + tdm[:, :-1],
+            )
+            cand = jnp.maximum(cand, 0.0)
+            new_vm = jnp.concatenate(
+                [jnp.full((p, 1), _NEG), cand + emit], axis=1
+            )
+            new_vi = jnp.maximum(vm + tmi, vi + tii)
+            b = new_vm[:, :m] + tmd_shift
+            run_ = jax.lax.cummax(b, axis=1) + s_shift
+            new_vd = jnp.concatenate([jnp.full((p, 1), _NEG), run_], axis=1)
+            new_best = jnp.maximum(best, jnp.max(new_vm, axis=1))
+            out = jax.tree.map(
+                lambda new, old: jnp.where(valid, new, old),
+                (new_vm, new_vi, new_vd, new_best), (vm, vi, vd, best),
+            )
+            return out, None
+
+        init = (
+            jnp.full((p, m + 1), _NEG),
+            jnp.full((p, m + 1), _NEG),
+            jnp.full((p, m + 1), _NEG),
+            jnp.zeros(p),
+        )
+        l = seq_idx.shape[0]
+        valid = jnp.arange(l) < n_valid
+        (vm, vi, vd, best), _ = jax.lax.scan(step, init, (seq_idx, valid))
+        return best
+
+    return run
+
+
+_viterbi_batch_fn = None
+
+
+class ProfileStack:
+    """Profiles padded to a common length for batched device Viterbi."""
+
+    def __init__(self, profiles: list[Profile]):
+        self.profiles = profiles
+        p = len(profiles)
+        m = max(pr.length for pr in profiles)
+        self.ms = np.full((p, m, 20), _NEG, dtype=np.float32)
+        self.tmm = np.full((p, m + 1), _NEG, np.float32)
+        self.tmi = np.full((p, m + 1), _NEG, np.float32)
+        self.tim = np.full((p, m + 1), _NEG, np.float32)
+        self.tii = np.full((p, m + 1), _NEG, np.float32)
+        self.tdm = np.full((p, m + 1), _NEG, np.float32)
+        self.tmd_shift = np.full((p, m), _NEG, np.float32)
+        self.s_shift = np.zeros((p, m), np.float32)
+        for i, pr in enumerate(profiles):
+            mm = pr.length
+            self.ms[i, :mm] = np.maximum(pr.match_scores[1:], _NEG)
+            for name in ("tmm", "tmi", "tim", "tii", "tdm"):
+                getattr(self, name)[i, : mm + 1] = np.maximum(
+                    getattr(pr, name), _NEG
+                )
+            tmd = np.maximum(pr.tmd, _NEG)
+            tdd = np.maximum(pr.tdd, _NEG)
+            s_cum = np.concatenate([[0.0], np.cumsum(np.maximum(tdd[1:mm], _NEG))])
+            s_prev = np.concatenate([[0.0], s_cum[:-1]])
+            self.tmd_shift[i, :mm] = tmd[:mm] - s_prev
+            self.s_shift[i, :mm] = s_prev
+
+    def scores(self, seq_idx: np.ndarray, pad_to: int | None = None) -> np.ndarray:
+        """Best local Viterbi score of each profile against one sequence."""
+        global _viterbi_batch_fn
+        if _viterbi_batch_fn is None:
+            _viterbi_batch_fn = _viterbi_scan_batch()
+        n = seq_idx.size
+        if n == 0:
+            return np.zeros(len(self.profiles))
+        # pad length to buckets to bound recompilation
+        l = pad_to or max(1 << (n - 1).bit_length(), 64)
+        idx = np.zeros(l, dtype=np.int32)
+        idx[:n] = seq_idx
+        out = _viterbi_batch_fn(
+            idx, np.int32(n), self.ms, self.tmm, self.tmi, self.tim,
+            self.tii, self.tdm, self.tmd_shift, self.s_shift,
+        )
+        return np.asarray(out)
 
 
 # ---------------------------------------------------------------------------
@@ -241,22 +342,28 @@ def parse_rexdb_name(name: str) -> tuple[str | None, str | None, str | None, str
 def classify_elements(
     elements: list[tuple[str, str]],
     db_path: str,
-    min_score: float = 15.0,
+    min_score: float = 25.0,
 ) -> dict[str, Classification]:
-    """elements: (id, inner_dna_seq). Returns id -> Classification."""
+    """elements: (id, inner_dna_seq). Returns id -> Classification.
+
+    ``min_score`` is a local-Viterbi score floor in nats; genuine REXdb
+    domain hits (150-300 aa profiles) score in the hundreds, while chance
+    maxima on multi-kb translations grow only logarithmically.
+    """
     profiles = load_hmm_db(db_path)
+    stack = ProfileStack(profiles)
+    meta = [parse_rexdb_name(p.name) for p in profiles]
     out: dict[str, Classification] = {}
     for eid, seq in elements:
         frames = six_frames(seq)
         hits = []  # (score, strand, order, superfamily, clade, domain)
         for prot, _f, strand in frames:
             idx = np.array([_AA_IDX.get(a, -1) for a in prot], dtype=np.int64)
-            idx = idx[idx >= 0]
-            for prof in profiles:
-                sc = viterbi_local(idx, prof)
-                if sc >= min_score:
-                    o, sf, cl, dom = parse_rexdb_name(prof.name)
-                    hits.append((sc, strand, o, sf, cl, dom))
+            idx = idx[idx >= 0].astype(np.int32)
+            scores = stack.scores(idx)
+            for pi in np.flatnonzero(scores >= min_score):
+                o, sf, cl, dom = meta[pi]
+                hits.append((float(scores[pi]), strand, o, sf, cl, dom))
         if not hits:
             out[eid] = Classification(id=eid)
             continue

@@ -1,0 +1,133 @@
+"""Classification engine tests with a synthetic HMMER3 database."""
+
+import math
+
+import numpy as np
+import pytest
+
+from subphaser_tpu.ltr.classify import (
+    AMINO,
+    classify_elements,
+    load_hmm_db,
+    six_frames,
+    translate,
+    viterbi_local,
+)
+
+# simple reverse-translation table (one codon per aa)
+_CODON = {
+    "A": "GCT", "C": "TGT", "D": "GAT", "E": "GAA", "F": "TTT", "G": "GGT",
+    "H": "CAT", "I": "ATT", "K": "AAA", "L": "CTT", "M": "ATG", "N": "AAT",
+    "P": "CCT", "Q": "CAA", "R": "CGT", "S": "TCT", "T": "ACT", "V": "GTT",
+    "W": "TGG", "Y": "TAT",
+}
+
+
+def reverse_translate(pep: str) -> str:
+    return "".join(_CODON[a] for a in pep)
+
+
+def write_profile(f, name: str, peptide: str):
+    m = len(peptide)
+    f.write("HMMER3/f [3.3 | test]\n")
+    f.write(f"NAME  {name}\n")
+    f.write(f"LENG  {m}\n")
+    f.write("ALPH  amino\n")
+    syms = " ".join(f"{a:>8}" for a in AMINO)
+    f.write(f"HMM      {syms}\n")
+    f.write("            m->m     m->i     m->d     i->m     i->i     d->m     d->d\n")
+    bg = -math.log(1.0 / 20)
+    f.write("  COMPO   " + "  ".join(f"{bg:.5f}" for _ in range(20)) + "\n")
+    f.write("          " + "  ".join(f"{bg:.5f}" for _ in range(20)) + "\n")
+    t = [0.05129, 3.0, 3.0, 0.61958, 0.77255, 0.0, "*"]
+    f.write("          " + "  ".join(str(x) for x in t) + "\n")
+    for k in range(1, m + 1):
+        aa = peptide[k - 1]
+        row = []
+        for a in AMINO:
+            p = 0.7 if a == aa else 0.3 / 19
+            row.append(f"{-math.log(p):.5f}")
+        f.write(f"{k:>7} " + "  ".join(row) + f"  {k} - - - -\n")
+        f.write("          " + "  ".join(f"{bg:.5f}" for _ in range(20)) + "\n")
+        f.write("          " + "  ".join(str(x) for x in t) + "\n")
+    f.write("//\n")
+
+
+@pytest.fixture(scope="module")
+def hmm_db(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    path = tmp_path_factory.mktemp("hmm") / "rexdb_mini.hmm"
+    peptides = {}
+    with open(path, "w") as f:
+        for dom in ["GAG", "PROT", "INT", "RT", "RH"]:
+            pep = "".join(rng.choice(list(AMINO), size=40))
+            peptides[dom] = pep
+            write_profile(f, f"Class_I/LTR/Ty1_copia/Ale/{dom}", pep)
+        pep = "".join(rng.choice(list(AMINO), size=40))
+        peptides["GYPSY_RT"] = pep
+        write_profile(f, "Class_I/LTR/Ty3_gypsy/Tekay/RT", pep)
+    return str(path), peptides
+
+
+def test_load_hmm_db(hmm_db):
+    path, peptides = hmm_db
+    profiles = load_hmm_db(path)
+    assert len(profiles) == 6
+    assert profiles[0].length == 40
+    assert profiles[0].name.endswith("/GAG")
+
+
+def test_viterbi_scores_target_vs_random(hmm_db):
+    path, peptides = hmm_db
+    profiles = load_hmm_db(path)
+    prof = profiles[0]
+    target = peptides["GAG"]
+    idx = np.array([AMINO.index(a) for a in target])
+    score_t = viterbi_local(idx, prof)
+    rng = np.random.default_rng(1)
+    rand = rng.integers(0, 20, size=40)
+    score_r = viterbi_local(rand, prof)
+    assert score_t > 40  # ~40 positions x ln(0.7/0.05) ~ 2.6 each
+    assert score_t > score_r + 20
+
+
+def test_classify_copia_element(hmm_db):
+    path, peptides = hmm_db
+    rng = np.random.default_rng(2)
+    filler = "".join(rng.choice(list("ACGT"), size=300))
+    inner = (
+        filler
+        + reverse_translate(peptides["GAG"])
+        + reverse_translate(peptides["PROT"])
+        + reverse_translate(peptides["INT"])
+        + reverse_translate(peptides["RT"])
+        + reverse_translate(peptides["RH"])
+        + filler
+    )
+    d = classify_elements([("el1", inner)], path)
+    c = d["el1"]
+    assert c.order == "LTR"
+    assert c.superfamily == "Copia"
+    assert c.clade == "Ale"
+    assert c.completed == "yes"
+    assert c.strand == "+"
+    assert set(c.domains.split()) == {"GAG", "PROT", "INT", "RT", "RH"}
+
+
+def test_classify_minus_strand_and_partial(hmm_db):
+    path, peptides = hmm_db
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    dna = reverse_translate(peptides["RT"])
+    rc = "".join(comp[c] for c in reversed(dna))
+    d = classify_elements([("el2", rc)], path)
+    c = d["el2"]
+    assert c.order == "LTR" and c.strand == "-"
+    assert c.completed == "no"  # only RT present
+
+
+def test_classify_no_hit(hmm_db):
+    path, _ = hmm_db
+    rng = np.random.default_rng(3)
+    junk = "".join(rng.choice(list("ACGT"), size=600))
+    d = classify_elements([("el3", junk)], path)
+    assert d["el3"].order is None
