@@ -74,6 +74,30 @@ def compact_host(codes: np.ndarray, counts: np.ndarray):
     return np.asarray(codes)[m], np.asarray(counts)[m]
 
 
+@jax.jit
+def count_surviving(counts, lower):
+    """Number of entries with count >= lower (scalar, cheap transfer)."""
+    return jnp.sum(counts >= lower)
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def threshold_compact(codes, counts, lower, cap: int):
+    """Keep entries with count >= lower, compacted to a static-size prefix.
+
+    Transfers through the host link shrink from the padded position count to
+    ~the repeat-k-mer count (the axon tunnel makes full-tile transfers the
+    end-to-end bottleneck otherwise).
+    """
+    n = codes.shape[0]
+    mask = (counts >= lower) & (codes != SENTINEL)
+    (pos,) = jnp.where(mask, size=cap, fill_value=n)
+    valid = pos < n
+    pos_c = jnp.minimum(pos, n - 1)
+    out_codes = jnp.where(valid, codes[pos_c], SENTINEL)
+    out_counts = jnp.where(valid, counts[pos_c], 0)
+    return out_codes, out_counts
+
+
 def merge_host(parts: list[tuple[np.ndarray, np.ndarray]]):
     """Merge many sorted (codes, counts) arrays on host (numpy, vectorized)."""
     if not parts:
@@ -121,10 +145,36 @@ class SpectrumAccumulator:
                 return
         self.levels[level] = entry
 
-    def finish(self) -> tuple[np.ndarray, np.ndarray]:
+    def finish(self, lower_count: int = 1) -> tuple[np.ndarray, np.ndarray]:
+        """Merge everything; apply the per-chromosome dump threshold.
+
+        When nothing spilled to host (the normal case), the threshold and
+        compaction run on device so only surviving entries cross the link.
+        With spills, counts may be split across device and host parts, so
+        thresholding happens after the host merge instead.
+        """
+        if not self.spilled and lower_count > 1 and len(self.levels) > 0:
+            entry = None
+            for other in self.levels.values():
+                if entry is None:
+                    entry = other
+                else:
+                    entry = merge_rle(entry[0], entry[1], other[0], other[1])
+            self.levels.clear()
+            codes, counts = entry
+            m = int(count_surviving(counts, lower_count))
+            cap = max(1 << max(m - 1, 1).bit_length(), 1 << 10)
+            cap = min(cap, int(codes.shape[0]))
+            u, c = threshold_compact(codes, counts, lower_count, cap)
+            out_c, out_n = compact_host(u, c)
+            return out_c, out_n.astype(np.int64)
         parts = list(self.spilled)
         for entry in self.levels.values():
             parts.append(compact_host(*entry))
         self.levels.clear()
         self.spilled = []
-        return merge_host(parts)
+        codes, counts = merge_host(parts)
+        if lower_count > 1:
+            keep = counts >= lower_count
+            codes, counts = codes[keep], counts[keep]
+        return codes, counts

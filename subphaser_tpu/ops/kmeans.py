@@ -112,10 +112,15 @@ def canonical_labels(labels, order, n_clusters: int):
 
 
 def zscore(data, axis=0):
-    """Z-normalization matching Cluster.normalize_data (Cluster.py:76-80)."""
+    """Z-normalization matching Cluster.normalize_data (Cluster.py:76-80).
+
+    Zero-variance columns are left centered at 0 instead of NaN (sklearn
+    would reject the NaN matrix outright in the reference).
+    """
+    data = jnp.asarray(data)
     mean = data.mean(axis=axis)
     std = data.std(axis=axis)
-    return (data - mean) / std
+    return (data - mean) / jnp.where(std > 0, std, 1.0)
 
 
 # ---------------------------------------------------------------------------

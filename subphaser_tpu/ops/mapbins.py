@@ -75,13 +75,16 @@ def map_tile_bins(
     ).astype(jnp.int32)
     bin_counts = dense.reshape(nbins_tile, n_sg)
 
-    # distinct significant k-mers hit in this tile (for the mapping-rate log,
-    # reference Seqs.py:114-117)
+    # distinct significant k-mers hit in this tile, as a dense mask over the
+    # sig table (for the mapping-rate log, reference Seqs.py:114-117);
+    # accumulated on device so only (M,) bools ever cross the host link
     hidx = jnp.where(hit, idx, SENTINEL).reshape(-1)
     shidx = jnp.sort(hidx)
-    ustart = jnp.concatenate([jnp.ones(1, bool), shidx[1:] != shidx[:-1]])
-    uhit = jnp.where(ustart, shidx, SENTINEL)
-    return bin_counts, jnp.int32(first_bin), uhit
+    dense_j = jnp.arange(m, dtype=shidx.dtype)
+    dj = jnp.searchsorted(shidx, dense_j)
+    dj_c = jnp.minimum(dj, shidx.shape[0] - 1)
+    hitmask = (dj < shidx.shape[0]) & (shidx[dj_c] == dense_j)
+    return bin_counts, jnp.int32(first_bin), hitmask
 
 
 def nbins_for_tile(tile_bases: int, bin_size: int) -> int:
@@ -89,7 +92,11 @@ def nbins_for_tile(tile_bases: int, bin_size: int) -> int:
 
 
 class BinAccumulator:
-    """Accumulates per-tile bin counts into per-chromosome dense arrays."""
+    """Accumulates per-tile bin counts into per-chromosome dense arrays.
+
+    The distinct-hit mask stays on device (OR-accumulated jnp bool array)
+    until ``mapped_kmer_count`` is read.
+    """
 
     def __init__(self, chrom_sizes: list[int], bin_size: int, n_sg: int):
         self.bin_size = bin_size
@@ -97,10 +104,10 @@ class BinAccumulator:
         self.per_chrom = [
             np.zeros((-(-size // bin_size), n_sg), dtype=np.int64) for size in chrom_sizes
         ]
-        self.mapped_kmers: set[int] = set()
+        self._hitmask = None
         self.mapped_positions = 0
 
-    def add(self, chrom_index: int, bin_counts, first_bin: int, uhit=None) -> None:
+    def add(self, chrom_index: int, bin_counts, first_bin: int, hitmask=None) -> None:
         bc = np.asarray(bin_counts)
         arr = self.per_chrom[chrom_index]
         nb = arr.shape[0]
@@ -109,7 +116,15 @@ class BinAccumulator:
         if hi > lo:
             arr[lo:hi] += bc[: hi - lo]
         self.mapped_positions += int(bc.sum())
-        if uhit is not None:
-            u = np.asarray(uhit)
-            u = u[u != SENTINEL]
-            self.mapped_kmers.update(u.tolist())
+        if hitmask is not None:
+            self._hitmask = (
+                hitmask if self._hitmask is None else self._hitmask | hitmask
+            )
+
+    @property
+    def mapped_kmer_count(self) -> int:
+        if self._hitmask is None:
+            return 0
+        import jax.numpy as jnp
+
+        return int(jnp.sum(self._hitmask))

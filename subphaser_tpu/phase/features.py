@@ -75,12 +75,12 @@ class FeaturePack:
         codes = np.ascontiguousarray(sig.codes)
         sgs = np.ascontiguousarray(sig.sg)
         for t in self.genome.tiles(k, tile_bases=tile_bases):
-            bc, fb, uhit = map_tile_bins(
+            bc, fb, hitmask = map_tile_bins(
                 t.words, t.vwords, codes, sgs, np.int32(t.start),
                 k=k, n_pos_words=tile_bases // 16, bin_size=self.slot,
                 n_sg=n_sg, nbins_tile=nbt,
             )
-            acc.add(0, bc, int(fb), uhit)
+            acc.add(0, bc, int(fb), hitmask)
         slots = acc.per_chrom[0]  # (n_slots, n_sg)
         out = np.zeros((len(self.names), n_sg), dtype=np.int64)
         for i, (s0, ns) in enumerate(zip(self.feature_slot_start, self.slots_per_feature)):

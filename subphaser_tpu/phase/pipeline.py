@@ -265,16 +265,16 @@ class Pipeline:
         sgs = np.ascontiguousarray(sig.sg)
         n_pos_words = self.tile_bases // 16
         for t in self.genome.tiles(self.k, tile_bases=self.tile_bases):
-            bc, fb, uhit = map_tile_bins(
+            bc, fb, hitmask = map_tile_bins(
                 t.words, t.vwords, codes, sgs, np.int32(t.start),
                 k=self.k, n_pos_words=n_pos_words, bin_size=BIN_SIZE,
                 n_sg=n_sg, nbins_tile=nbt,
             )
-            acc.add(t.chrom_index, bc, int(fb), uhit)
+            acc.add(t.chrom_index, bc, int(fb), hitmask)
         total = max(len(sig), 1)
         logger.info(
             "Mapped %d kmer hits; %.2f%% of %d subgenome-specific kmers mapped",
-            acc.mapped_positions, 100.0 * len(acc.mapped_kmers) / total, total // 2,
+            acc.mapped_positions, 100.0 * acc.mapped_kmer_count / total, total // 2,
         )
         return acc
 

@@ -59,9 +59,7 @@ def count_genome(
                 continue
             u, c = count_tile(t.words, t.vwords, k, n_pos_words)
             acc.add(u, c)
-        codes, counts = acc.finish()
-        keep = counts >= lower_count
-        codes, counts = codes[keep], counts[keep]
+        codes, counts = acc.finish(lower_count)
         total = int(counts.sum())
         logger.info(
             "Counted %s: %d distinct k-mers (count >= %d), %d total",

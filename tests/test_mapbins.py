@@ -29,12 +29,12 @@ def test_map_tile_bins_oracle():
     nbt = nbins_for_tile(tile_bases, bin_size)
     acc = BinAccumulator([len(seq)], bin_size, n_sg)
     for t in g.tiles(k, tile_bases=tile_bases):
-        bc, fb, uhit = map_tile_bins(
+        bc, fb, hitmask = map_tile_bins(
             t.words, t.vwords, codes, sgs, np.int32(t.start),
             k=k, n_pos_words=tile_bases // 16, bin_size=bin_size,
             n_sg=n_sg, nbins_tile=nbt,
         )
-        acc.add(t.chrom_index, bc, int(fb), uhit)
+        acc.add(t.chrom_index, bc, int(fb), hitmask)
 
     expected = map_kmers_to_bins(seq, d_kmers, k, bin_size, n_sg)
     got = acc.per_chrom[0]
@@ -43,9 +43,7 @@ def test_map_tile_bins_oracle():
         np.testing.assert_array_equal(got[b], exp, err_msg=f"bin {b}")
     # mapped k-mer identity bookkeeping
     expected_hit = {s for s in d_kmers if s in _all_substrings(seq, k)}
-    assert len(acc.mapped_kmers) == len(
-        {kmer_code(s) for s in expected_hit}
-    )
+    assert acc.mapped_kmer_count == len({kmer_code(s) for s in expected_hit})
     assert acc.mapped_positions == sum(sum(v) for v in expected.values())
 
 
