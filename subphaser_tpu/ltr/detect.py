@@ -185,11 +185,61 @@ def detect_ltr_chrom(
     return records
 
 
-def detect_ltr(genome: PackedGenome, options: str | None = None, **kw) -> list[LTRRecord]:
-    params = parse_harvest_options(options)
+def parse_finder_options(options: str | None) -> dict:
+    """Map `-ltr_finder_options` flags (-D/-d/-L/-l/-M, reference
+    __main__.py:141-145) onto the same native detector parameters."""
+    params = dict(DEFAULT_PARAMS)
+    if not options:
+        return params
+    toks = options.split()
+    keymap = {
+        "-D": ("maxdistltr", int),
+        "-d": ("mindistltr", int),
+        "-L": ("maxlenltr", int),
+        "-l": ("minlenltr", int),
+    }
+    for i, t in enumerate(toks):
+        if t in keymap and i + 1 < len(toks):
+            key, conv = keymap[t]
+            try:
+                params[key] = conv(toks[i + 1])
+            except ValueError:
+                pass
+        elif t == "-M" and i + 1 < len(toks):
+            try:
+                params["similar"] = 100.0 * float(toks[i + 1])
+            except ValueError:
+                pass
+    return params
+
+
+def detect_ltr(
+    genome: PackedGenome,
+    options: str | None = None,
+    detectors: list[str] | None = None,
+    finder_options: str | None = None,
+    **kw,
+) -> list[LTRRecord]:
+    """Run the native detector with one parameterization per requested
+    detector style and merge (the reference merges LTRharvest + ltr_finder
+    outputs the same way, LTR.py:80-142); duplicates resolve downstream."""
+    detectors = detectors or ["ltr_harvest"]
+    param_sets = []
+    if "ltr_harvest" in detectors:
+        param_sets.append(parse_harvest_options(options))
+    if "ltr_finder" in detectors:
+        param_sets.append(parse_finder_options(finder_options))
+    if not param_sets:
+        param_sets.append(parse_harvest_options(options))
     all_records: list[LTRRecord] = []
     for chrom in genome.chroms:
-        recs = detect_ltr_chrom(chrom, params, **kw)
+        seen: set = set()
+        recs: list[LTRRecord] = []
+        for params in param_sets:
+            for r in detect_ltr_chrom(chrom, params, **kw):
+                if r.key not in seen:
+                    seen.add(r.key)
+                    recs.append(r)
         logger.info("LTR detection on %s: %d candidates", chrom.name, len(recs))
         all_records.extend(recs)
     return all_records

@@ -28,6 +28,8 @@ class LTRPipeline:
         genome: PackedGenome,
         tmpdir: str,
         harvest_options: str | None = None,
+        finder_options: str | None = None,
+        detectors: list[str] | None = None,
         hmm_db: str | None = None,
         all_ltr: bool = False,
         intact_ltr: bool = False,
@@ -38,6 +40,8 @@ class LTRPipeline:
         self.genome = genome
         self.tmpdir = tmpdir
         self.harvest_options = harvest_options
+        self.finder_options = finder_options
+        self.detectors = detectors
         self.hmm_db = hmm_db
         self.all_ltr = all_ltr
         self.intact_ltr = intact_ltr and not all_ltr
@@ -55,7 +59,9 @@ class LTRPipeline:
             logger.info("Loaded %d LTR candidates from checkpoint %s", len(ltrs), scn)
         else:
             ltrs = detect_ltr(
-                self.genome, self.harvest_options, tile_bases=self.tile_bases
+                self.genome, self.harvest_options,
+                detectors=self.detectors, finder_options=self.finder_options,
+                tile_bases=self.tile_bases,
             )
             with open(scn, "w") as f:
                 write_scn(ltrs, f)

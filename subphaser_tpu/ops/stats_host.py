@@ -108,6 +108,14 @@ def test_top2(
             res = sps.ttest_ind(x, y, axis=1)
             pvals[rows] = res.pvalue
         else:
+            if method == "wilcoxon" and x.shape[1] != y.shape[1]:
+                # scipy's wilcoxon is a paired test; the reference passes
+                # the same unequal groups and crashes identically
+                raise ValueError(
+                    "wilcoxon requires equally sized subgenome groups "
+                    f"(got {x.shape[1]} vs {y.shape[1]}); use ttest_ind, "
+                    "kruskal, or mannwhitneyu"
+                )
             # rank tests: scipy supports axis too
             with np.errstate(all="ignore"):
                 res = test(x, y, axis=1)

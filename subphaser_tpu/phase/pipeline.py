@@ -100,6 +100,11 @@ class Pipeline:
                 if f.endswith((".ok.json", ".ok.npz")):
                     os.remove(os.path.join(self.tmpdir, f))
 
+        if not 1 <= self.k <= 15:
+            raise ValueError(
+                f"k={self.k} unsupported: this build packs k-mer codes in "
+                "int32 (k <= 15); the int64 path for k up to 31 is planned"
+            )
         logger.info("Target chromosomes: %s", self.chrs)
         genome, labels = self._load_genome()
         self.genome = genome
@@ -113,11 +118,21 @@ class Pipeline:
         logger.info("CONFIG: %s", self.sgs)
         genome_size = genome.total_bases()
         logger.info("Genome size: %s bp", f"{genome_size:,}")
+        device_budget = 1 << 26
+        if self.low_mem or (self.low_mem is None and genome_size > 3e9):
+            # reference auto-switches to a low-memory mode above 3 Gb
+            # (__main__.py:395-398); here that means smaller device merge
+            # budgets and tiles so spectra spill to host earlier
+            self.tile_bases = min(self.tile_bases, 1 << 22)
+            device_budget = 1 << 24
+            logger.info("Low-memory mode: tile=%d, device_budget=%d",
+                        self.tile_bases, device_budget)
 
         logger.info("###Step: Kmer Count")
         spectra = count_genome(
             genome, self.k, lower_count=self.lower_count,
-            tile_bases=self.tile_bases, checkpoint=self.ckp,
+            tile_bases=self.tile_bases, device_budget=device_budget,
+            checkpoint=self.ckp,
         )
 
         # differential filter
@@ -325,6 +340,8 @@ class Pipeline:
             self.genome,
             tmpdir=ltr_tmp,
             harvest_options=self.ltr_harvest_options,
+            finder_options=self.ltr_finder_options,
+            detectors=self.ltr_detectors,
             hmm_db=getattr(self, "hmm_db", None),
             all_ltr=self.all_ltr,
             intact_ltr=self.intact_ltr,
