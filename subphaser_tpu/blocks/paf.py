@@ -80,11 +80,88 @@ class PafRecord:
         return max(0, min(self.qend, other.qend) - max(self.qstart, other.qstart))
 
 
+    def toverlap(self, other: "PafRecord") -> int:
+        if self.tname != other.tname:
+            return 0
+        return max(0, min(self.tend, other.tend) - max(self.tstart, other.tstart))
+
+    def qcontains(self, other: "PafRecord") -> bool:
+        return (
+            self.qname == other.qname
+            and self.qstart <= other.qstart
+            and self.qend >= other.qend
+        )
+
+    def qcov(self) -> float:
+        """Query coverage fraction."""
+        return self.qspan / self.qlen if self.qlen else 0.0
+
+    def tcov(self) -> float:
+        return self.tspan / self.tlen if self.tlen else 0.0
+
+    # ---- cs-string (minimap2 difference string) ----------------------
+    def cs_ops(self):
+        """Parse the cs:Z: tag -> [(op, payload)] with op in ':*+-~'.
+
+        ':' exact-match length (int), '*' substitution 'rq' (ref+query
+        base), '+' insertion into query (seq), '-' deletion from query
+        (seq), '~' intron (raw).
+        """
+        cs = self.tags.get("cs")
+        if not cs:
+            return []
+        out = []
+        for m in _CS_RE.finditer(cs):
+            op = m.group(1)
+            val = m.group(2)
+            out.append((op, int(val) if op == ":" else val))
+        return out
+
+    def cs_calls(self):
+        """cs-string -> variant calls [(tpos, ref, alt)] in target coords
+        (the reference's CsBlocks -> VCF conversion, Paf.py)."""
+        tpos = self.tstart
+        calls = []
+        for op, val in self.cs_ops():
+            if op == ":":
+                tpos += val
+            elif op == "*":
+                calls.append((tpos, val[0].upper(), val[1].upper()))
+                tpos += 1
+            elif op == "-":  # deletion from query = bases present in target
+                calls.append((tpos, val.upper(), ""))
+                tpos += len(val)
+            elif op == "+":  # insertion in query
+                calls.append((tpos, "", val.upper()))
+            elif op == "~":
+                digits = "".join(c for c in val if c.isdigit())
+                tpos += int(digits) if digits else 0
+        return calls
+
+
+_CS_RE = __import__("re").compile(r"([:*+\-~])([0-9]+|[a-zA-Z]+)")
+
+
 def parse_paf(path: str):
     with open(path) as f:
         for line in f:
             if line.strip():
                 yield PafRecord.parse(line)
+
+
+def best_hit(records, by: str = "qname"):
+    """Highest-scoring record per query (reference Paf.best_hit): primary
+    preferred, then most matching bases."""
+    best: dict[str, PafRecord] = {}
+    for r in records:
+        key = getattr(r, by)
+        cur = best.get(key)
+        if cur is None:
+            best[key] = r
+            continue
+        if (r.is_primary, r.nmatch) > (cur.is_primary, cur.nmatch):
+            best[key] = r
+    return best
 
 
 def primary_blocks(paf_path: str, min_block: int = 100000):

@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from subphaser_tpu.blocks.paf import PafRecord, parse_paf, primary_blocks
+from subphaser_tpu.blocks.paf import PafRecord, best_hit, parse_paf, primary_blocks
 from subphaser_tpu.io.genome import PackedGenome
 from tests.test_encoding import random_seq
 
@@ -107,3 +107,31 @@ def test_circos_plot_smoke(tmp_path):
 
     assert os.path.getsize(out) > 10_000
     assert "Karyotype" in (tmp_path / "legend.txt").read_text()
+
+
+def test_paf_cs_calls_and_best_hit():
+    line = ("q\t100\t0\t10\t+\tt\t200\t50\t61\t9\t11\t60\ttp:A:P\t"
+            "cs:Z::4*at-gg:2+tt:2")
+    rec = PafRecord.parse(line)
+    ops = rec.cs_ops()
+    assert ops == [(":", 4), ("*", "at"), ("-", "gg"), (":", 2), ("+", "tt"), (":", 2)]
+    calls = rec.cs_calls()
+    # tstart=50: match 4 -> sub at 54, del at 55 (GG), ins after 57+2
+    assert calls[0] == (54, "A", "T")
+    assert calls[1] == (55, "GG", "")
+    assert calls[2] == (57 + 2, "", "TT")
+    assert rec.qcov() == pytest.approx(0.1)
+
+    sec = PafRecord.parse(line.replace("tp:A:P", "tp:A:S"))
+    sec.nmatch = 99
+    best = best_hit([sec, rec])
+    assert best["q"] is rec  # primary beats higher nmatch secondary
+
+
+def test_paf_overlap_contains():
+    a = PafRecord("q", 1000, 100, 500, "+", "t", 2000, 0, 400, 300, 400, 60)
+    b = PafRecord("q", 1000, 200, 300, "+", "t", 2000, 350, 450, 90, 100, 60)
+    assert a.qoverlap(b) == 100
+    assert a.toverlap(b) == 50
+    assert a.qcontains(b)
+    assert not b.qcontains(a)
