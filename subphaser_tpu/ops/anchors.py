@@ -50,7 +50,9 @@ def chrom_anchors(
     """Sampled anchors for a whole chromosome (host-concatenated tiles)."""
     n_pos_words = tile_bases // 16
     n_words = tile_words_for(tile_bases, k)
-    cap = tile_bases // max(mod // 4, 1)
+    # expected anchors ~= tile/mod; 25% headroom (cap directly sizes the
+    # device->host transfer through the tunnel)
+    cap = tile_bases // mod + tile_bases // (mod * 4)
     codes, poss, strands = [], [], []
     for start in range(0, chrom.length, tile_bases):
         w0 = start // 16

@@ -68,6 +68,24 @@ def count_tile(words, vwords, k: int, n_pos_words: int):
     return sort_rle(codes)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "n_pos_words"))
+def count_tile_batch(words, vwords, k: int, n_pos_words: int):
+    """(T, n_words) packed tiles -> one merged sorted spectrum.
+
+    One device call per batch instead of per tile + per merge: through the
+    remote tunnel, dispatch round trips dominate, so code extraction runs
+    per tile (lax.map bounds memory) and a single sort covers the batch.
+    """
+    from subphaser_tpu.ops.kmer import kmer_codes
+
+    def one(wv):
+        w, v = wv
+        return kmer_codes(w, v, k, n_pos_words).reshape(-1)
+
+    codes = jax.lax.map(one, (words, vwords))  # (T, 16*n_pos_words)
+    return sort_rle(codes.reshape(-1))
+
+
 def compact_host(codes: np.ndarray, counts: np.ndarray):
     """Drop SENTINEL padding on host."""
     m = np.asarray(codes) != SENTINEL

@@ -15,7 +15,12 @@ from dataclasses import dataclass
 import numpy as np
 
 from subphaser_tpu.io.genome import DEFAULT_TILE_BASES, PackedGenome
-from subphaser_tpu.ops.count import SpectrumAccumulator, count_tile, merge_host
+from subphaser_tpu.ops.count import (
+    SpectrumAccumulator,
+    count_tile,
+    count_tile_batch,
+    merge_host,
+)
 from subphaser_tpu.utils.log import logger
 
 
@@ -33,6 +38,7 @@ def count_genome(
     lower_count: int = 3,
     tile_bases: int = DEFAULT_TILE_BASES,
     device_budget: int = 1 << 26,
+    batch_tiles: int = 4,
     checkpoint=None,
 ) -> list[ChromSpectrum]:
     """Count canonical k-mers per chromosome on device."""
@@ -54,10 +60,24 @@ def count_genome(
             logger.info("Loaded spectrum checkpoint for %s", chrom.name)
             continue
         acc = SpectrumAccumulator(device_budget=device_budget)
-        for t in genome.tiles(k, tile_bases=tile_bases):
-            if t.chrom_index != ci:
-                continue
-            u, c = count_tile(t.words, t.vwords, k, n_pos_words)
+        tiles = [t for t in genome.tiles(k, tile_bases=tile_bases) if t.chrom_index == ci]
+        for lo in range(0, len(tiles), batch_tiles):
+            batch = tiles[lo : lo + batch_tiles]
+            if len(batch) == 1:
+                u, c = count_tile(batch[0].words, batch[0].vwords, k, n_pos_words)
+            else:
+                words = np.stack([t.words for t in batch])
+                vwords = np.stack([t.vwords for t in batch])
+                if len(batch) < batch_tiles:
+                    # pad with empty (all-invalid) tiles to keep one jit shape
+                    pad = batch_tiles - len(batch)
+                    words = np.concatenate(
+                        [words, np.zeros((pad,) + words.shape[1:], words.dtype)]
+                    )
+                    vwords = np.concatenate(
+                        [vwords, np.zeros((pad,) + vwords.shape[1:], vwords.dtype)]
+                    )
+                u, c = count_tile_batch(words, vwords, k, n_pos_words)
             acc.add(u, c)
         codes, counts = acc.finish(lower_count)
         total = int(counts.sum())
