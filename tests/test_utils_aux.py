@@ -104,3 +104,46 @@ def test_shared_features():
     )
     assert "shared1" in out
     assert "unique1" not in out
+
+
+def test_stat_enrich(tmp_path):
+    from subphaser_tpu.phase.stat_enrich import stat_enrich
+    import io as _io
+
+    tsv = tmp_path / "x.enrich"
+    tsv.write_text(
+        "#id\tsubgenome\tp_value\tcounts\n"
+        "Gypsy-1\tSG1\t0.01\t5,1\n"
+        "Gypsy-2\tSG1\t0.02\t3,0\n"
+        "Copia-1\tSG2\t0.01\t0,7\n"
+    )
+    out = _io.StringIO()
+    stat_enrich(str(tsv), out)
+    lines = out.getvalue().splitlines()
+    assert lines[0] == "Copia\t0\t1\t0\t7"
+    assert lines[1] == "Gypsy\t2\t0\t8\t1"
+
+
+def test_cut_seqs_and_split(tmp_path):
+    from subphaser_tpu.io.split import balanced_chunks, cut_seqs, split_fasta_balanced
+    from subphaser_tpu.io.fasta import iter_fasta, write_fasta
+    import io as _io
+
+    write_fasta(str(tmp_path / "a.fa"), [("c1", "A" * 250), ("c2", "C" * 90)])
+    out = _io.StringIO()
+    offsets = cut_seqs(str(tmp_path / "a.fa"), out, window_size=100, window_ovl=20)
+    assert offsets["c1:1-120"] == ("c1", 0)
+    assert offsets["c1:101-220"] == ("c1", 100)
+    assert offsets["c1:201-250"] == ("c1", 200)
+    assert offsets["c2:1-90"] == ("c2", 0)
+
+    chunks = balanced_chunks({"a": 100, "b": 90, "c": 50, "d": 40}, 2)
+    tot = sorted(sum({"a": 100, "b": 90, "c": 50, "d": 40}[x] for x in ch) for ch in chunks)
+    assert tot == [140, 140]
+
+    files = split_fasta_balanced(str(tmp_path / "a.fa"), str(tmp_path / "s"), 2)
+    assert len(files) == 2
+    names = set()
+    for f in files:
+        names |= {rid for rid, _d, _s in iter_fasta(f)}
+    assert names == {"c1", "c2"}
