@@ -143,12 +143,14 @@ def circos_plot(
                 a1 = layout.angle(name, min((wi + 1) * window_size, chrom_sizes[name]))
                 h = (r_top - r_bot) * (v / vmax)
                 ax.fill_between(_arc(a0, a1), r_bot, r_bot + h, color=color, lw=0)
-        ax.text(-0.04, (r_top + r_bot) / 2, sg, fontsize=6, ha="right",
-                color=color)
+        fig.text(0.015, 0.96 - 0.025 * si, f"ring {3 + si}: {sg} k-mers",
+                 fontsize=8, color=color)
 
     # ---- LTR density ring --------------------------------------------
     inner = base - len(sg_names) * ring_h
     if ltr_bedlines:
+        fig.text(0.015, 0.96 - 0.025 * len(sg_names),
+                 f"ring {3 + len(sg_names)}: LTR-RTs", fontsize=8, color="#555555")
         r_top = inner
         r_bot = inner - ring_h + 0.008
         dens: dict[str, np.ndarray] = {
