@@ -1,0 +1,144 @@
+"""Sharded k-mer spectrum discovery: tiles data-parallel, k-mer space
+exchanged with all_to_all.
+
+The reference merges per-process counts through the filesystem (dump files
+read into one dict, reference Jellyfish.py:446-458, or GNU sort -m,
+:814-824). Device-native equivalent over a 1-D "data" mesh:
+
+1. every device sorts + RLE-encodes the canonical codes of its tile shard;
+2. the code space [0, 4^k) is split into D equal ranges, device d owning
+   range d; each device slices its sorted local spectrum at the range
+   boundaries (searchsorted) into D equal-quota send buffers;
+3. one ``all_to_all`` puts every code at its owner;
+4. each owner merges its received runs (sort + segmented sum) into the
+   device-owned disjoint spectrum shard.
+
+Quotas are static (all_to_all needs equal splits): each send slot holds
+``local_size // D + slack``; overflow is detected on device and reported so
+the caller can retry with more slack (uniform hashing of canonical codes
+makes overflow improbable at 2x slack).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from subphaser_tpu.ops.count import sort_rle
+from subphaser_tpu.ops.kmer import SENTINEL, kmer_codes
+
+
+def _local_count_and_exchange(words, vwords, *, k, n_pos_words, quota, n_dev):
+    """Runs per device under shard_map; returns (codes, counts, overflow)."""
+    def one(wv):
+        w, v = wv
+        return kmer_codes(w, v, k, n_pos_words).reshape(-1)
+
+    codes = jax.lax.map(one, (words, vwords)).reshape(-1)
+    ucodes, ucounts = sort_rle(codes)
+    n = ucodes.shape[0]
+
+    # range owner boundaries over code space [0, 4^k): static python ints
+    # (int64 math would truncate under the default x64-disabled mode)
+    space = jnp.int32(1 << (2 * k))
+    bounds = jnp.asarray(
+        np.array([(i * (1 << (2 * k))) // n_dev for i in range(1, n_dev)], np.int32)
+    )
+    cut = jnp.searchsorted(ucodes, bounds)  # (D-1,)
+    starts = jnp.concatenate([jnp.zeros(1, cut.dtype), cut])
+    # number of REAL entries (not SENTINEL padding)
+    n_real = jnp.searchsorted(ucodes, space - 1, side="right")
+    ends = jnp.concatenate([cut, n_real[None]])
+    sizes = ends - starts
+    overflow = jnp.any(sizes > quota)
+
+    # gather each range into its fixed-quota slot
+    slot = jax.lax.broadcasted_iota(jnp.int32, (n_dev, quota), 1)
+    src = starts[:, None] + slot
+    valid = slot < sizes[:, None]
+    src_c = jnp.minimum(src, n - 1)
+    send_codes = jnp.where(valid, ucodes[src_c], SENTINEL)
+    send_counts = jnp.where(valid, ucounts[src_c], 0)
+
+    recv_codes = jax.lax.all_to_all(send_codes, "data", 0, 0, tiled=False)
+    recv_counts = jax.lax.all_to_all(send_counts, "data", 0, 0, tiled=False)
+    # received: (D, quota) runs from every peer for MY code range -> merge
+    flat_codes = recv_codes.reshape(-1)
+    flat_counts = recv_counts.reshape(-1)
+    scodes, scounts = jax.lax.sort((flat_codes, flat_counts), num_keys=1)
+    m = scodes.shape[0]
+    start = jnp.concatenate([jnp.ones(1, bool), scodes[1:] != scodes[:-1]])
+    (pos,) = jnp.where(start, size=m, fill_value=m)
+    csum = jnp.cumsum(scounts)
+    end = jnp.minimum(jnp.diff(pos, append=jnp.int32(m)) + pos, m) - 1
+    run_tot = csum[jnp.maximum(end, 0)] - jnp.where(
+        pos > 0, csum[jnp.maximum(pos - 1, 0)], 0
+    )
+    out_codes = jnp.where(pos < m, scodes[jnp.minimum(pos, m - 1)], SENTINEL)
+    out_counts = jnp.where((pos < m) & (out_codes != SENTINEL), run_tot, 0)
+    out_codes = jnp.where(out_counts > 0, out_codes, SENTINEL)
+    return out_codes, out_counts.astype(jnp.int32), overflow
+
+
+def build_sharded_count(mesh: Mesh, *, k: int, n_pos_words: int, tiles_per_dev: int,
+                        slack: float = 2.0):
+    """Jitted fn(words (T, W), vwords) -> (codes, counts, overflow) where the
+    spectrum is sharded over the mesh's "data" axis by code range."""
+    n_dev = mesh.shape["data"]
+    local = tiles_per_dev * 16 * n_pos_words
+    quota = int(local // n_dev * slack) + 16
+
+    fn = functools.partial(
+        _local_count_and_exchange,
+        k=k, n_pos_words=n_pos_words, quota=quota, n_dev=n_dev,
+    )
+    mapped = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P("data", None), P("data", None)),
+        out_specs=(P("data"), P("data"), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def sharded_spectrum(
+    mesh: Mesh, tiles, k: int, n_pos_words: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Count one chromosome's tiles across the mesh -> host (codes, counts).
+
+    ``tiles``: list of Tile objects. Pads the tile list to a multiple of the
+    mesh size with empty tiles.
+    """
+    n_dev = mesh.shape["data"]
+    words = np.stack([t.words for t in tiles])
+    vwords = np.stack([t.vwords for t in tiles])
+    pad = (-len(tiles)) % n_dev
+    if pad:
+        words = np.concatenate([words, np.zeros((pad,) + words.shape[1:], words.dtype)])
+        vwords = np.concatenate(
+            [vwords, np.zeros((pad,) + vwords.shape[1:], vwords.dtype)]
+        )
+    tiles_per_dev = words.shape[0] // n_dev
+    step = build_sharded_count(
+        mesh, k=k, n_pos_words=n_pos_words, tiles_per_dev=tiles_per_dev
+    )
+    words_d = jax.device_put(words, NamedSharding(mesh, P("data", None)))
+    vwords_d = jax.device_put(vwords, NamedSharding(mesh, P("data", None)))
+    codes, counts, overflow = step(words_d, vwords_d)
+    if bool(overflow):
+        raise RuntimeError(
+            "sharded_spectrum quota overflow (heavily skewed k-mer ranges); "
+            "retry with larger slack"
+        )
+    codes = np.asarray(codes)
+    counts = np.asarray(counts)
+    m = codes != SENTINEL
+    codes, counts = codes[m], counts[m]
+    order = np.argsort(codes, kind="stable")
+    return codes[order], counts[order].astype(np.int64)
