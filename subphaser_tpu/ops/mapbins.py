@@ -87,6 +87,40 @@ def map_tile_bins(
     return bin_counts, jnp.int32(first_bin), hitmask
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "n_pos_words", "bin_size", "n_sg", "nbins_tile")
+)
+def map_tiles_batch(
+    words,      # (T, n_words)
+    vwords,     # (T, n_words)
+    sig_codes,
+    sig_sg,
+    starts,     # (T,) int32 tile offsets
+    *,
+    k: int,
+    n_pos_words: int,
+    bin_size: int,
+    n_sg: int,
+    nbins_tile: int,
+):
+    """Batch of tiles -> ((T, nbins_tile, n_sg) counts, OR-reduced hitmask).
+
+    One dispatch per batch (remote-tunnel round trips dominate otherwise);
+    per-tile work runs under lax.map to bound memory.
+    """
+    def one(args):
+        w, v, s = args
+        bc, _fb, hm = map_tile_bins(
+            w, v, sig_codes, sig_sg, s,
+            k=k, n_pos_words=n_pos_words, bin_size=bin_size,
+            n_sg=n_sg, nbins_tile=nbins_tile,
+        )
+        return bc, hm
+
+    bcs, hms = jax.lax.map(one, (words, vwords, starts))
+    return bcs, jnp.any(hms, axis=0)
+
+
 def nbins_for_tile(tile_bases: int, bin_size: int) -> int:
     return tile_bases // bin_size + 2
 

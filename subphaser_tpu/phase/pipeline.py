@@ -129,10 +129,14 @@ class Pipeline:
                         self.tile_bases, device_budget)
 
         logger.info("###Step: Kmer Count")
+        # batching tiles per device call costs one big extra compile
+        # (~minutes through the remote tunnel) but removes thousands of
+        # dispatches on pod-scale genomes — only worth it above ~1 Gb
+        batch_tiles = 4 if genome_size > 1e9 else 1
         spectra = count_genome(
             genome, self.k, lower_count=self.lower_count,
             tile_bases=self.tile_bases, device_budget=device_budget,
-            checkpoint=self.ckp,
+            batch_tiles=batch_tiles, checkpoint=self.ckp,
         )
 
         # differential filter
@@ -279,13 +283,29 @@ class Pipeline:
         codes = np.ascontiguousarray(sig.codes)
         sgs = np.ascontiguousarray(sig.sg)
         n_pos_words = self.tile_bases // 16
-        for t in self.genome.tiles(self.k, tile_bases=self.tile_bases):
-            bc, fb, hitmask = map_tile_bins(
-                t.words, t.vwords, codes, sgs, np.int32(t.start),
+        from subphaser_tpu.ops.mapbins import map_tiles_batch
+
+        tiles = list(self.genome.tiles(self.k, tile_bases=self.tile_bases))
+        batch = 4 if self.genome.total_bases() > 1e9 else 1
+        for lo in range(0, len(tiles), batch):
+            bt = tiles[lo : lo + batch]
+            words = np.stack([t.words for t in bt])
+            vwords = np.stack([t.vwords for t in bt])
+            starts = np.array([t.start for t in bt], dtype=np.int32)
+            if len(bt) < batch:
+                pad = batch - len(bt)
+                words = np.concatenate([words, np.zeros((pad,) + words.shape[1:], words.dtype)])
+                vwords = np.concatenate([vwords, np.zeros((pad,) + vwords.shape[1:], vwords.dtype)])
+                starts = np.concatenate([starts, np.zeros(pad, np.int32)])
+            bcs, hitmask = map_tiles_batch(
+                words, vwords, codes, sgs, starts,
                 k=self.k, n_pos_words=n_pos_words, bin_size=BIN_SIZE,
                 n_sg=n_sg, nbins_tile=nbt,
             )
-            acc.add(t.chrom_index, bc, int(fb), hitmask)
+            bcs = np.asarray(bcs)
+            for i, t in enumerate(bt):
+                acc.add(t.chrom_index, bcs[i], t.start // BIN_SIZE,
+                        hitmask if i == 0 else None)
         total = max(len(sig), 1)
         logger.info(
             "Mapped %d kmer hits; %.2f%% of %d subgenome-specific kmers mapped",
