@@ -118,13 +118,16 @@ class Pipeline:
         logger.info("CONFIG: %s", self.sgs)
         genome_size = genome.total_bases()
         logger.info("Genome size: %s bp", f"{genome_size:,}")
-        device_budget = 1 << 26
+        # Device merge budget (entries). The HBM can hold far more than the
+        # host link can absorb: a spill transfers the whole padded spectrum
+        # through the tunnel, so budgets must stay large enough that only
+        # chromosomes beyond ~budget bases ever spill.
+        device_budget = 1 << 28
         if self.low_mem or (self.low_mem is None and genome_size > 3e9):
-            # reference auto-switches to a low-memory mode above 3 Gb
-            # (__main__.py:395-398); here that means smaller device merge
-            # budgets and tiles so spectra spill to host earlier
+            # reference auto-switches low-memory mode above 3 Gb
+            # (__main__.py:395-398): smaller tiles + merge budget
             self.tile_bases = min(self.tile_bases, 1 << 22)
-            device_budget = 1 << 24
+            device_budget = 1 << 27
             logger.info("Low-memory mode: tile=%d, device_budget=%d",
                         self.tile_bases, device_budget)
 
@@ -284,7 +287,9 @@ class Pipeline:
         sgs = np.ascontiguousarray(sig.sg)
         n_pos_words = self.tile_bases // 16
         from subphaser_tpu.ops.mapbins import map_tiles_batch
+        from subphaser_tpu.utils.profiling import Throughput
 
+        meter = Throughput("kmer mapping", unit="Mbp").start()
         tiles = list(self.genome.tiles(self.k, tile_bases=self.tile_bases))
         batch = 4 if self.genome.total_bases() > 1e9 else 1
         for lo in range(0, len(tiles), batch):
@@ -306,6 +311,8 @@ class Pipeline:
             for i, t in enumerate(bt):
                 acc.add(t.chrom_index, bcs[i], t.start // BIN_SIZE,
                         hitmask if i == 0 else None)
+        meter.stop(self.genome.total_bases() / 1e6)
+        meter.log()
         total = max(len(sig), 1)
         logger.info(
             "Mapped %d kmer hits; %.2f%% of %d subgenome-specific kmers mapped",

@@ -22,6 +22,7 @@ from subphaser_tpu.ops.count import (
     merge_host,
 )
 from subphaser_tpu.utils.log import logger
+from subphaser_tpu.utils.profiling import Throughput
 
 
 @dataclass
@@ -37,7 +38,7 @@ def count_genome(
     k: int,
     lower_count: int = 3,
     tile_bases: int = DEFAULT_TILE_BASES,
-    device_budget: int = 1 << 26,
+    device_budget: int = 1 << 28,
     batch_tiles: int = 4,
     checkpoint=None,
 ) -> list[ChromSpectrum]:
@@ -45,6 +46,7 @@ def count_genome(
     spectra: list[ChromSpectrum] = []
     n_pos_words = tile_bases // 16
     params = {"k": k, "lower_count": lower_count}
+    meter = Throughput("kmer counting", unit="Mbp")
     for ci, chrom in enumerate(genome.chroms):
         ckp_name = f"spectrum.{chrom.name}"
         if checkpoint is not None and checkpoint.has(ckp_name, params):
@@ -60,6 +62,7 @@ def count_genome(
             logger.info("Loaded spectrum checkpoint for %s", chrom.name)
             continue
         acc = SpectrumAccumulator(device_budget=device_budget)
+        meter.start()
         tiles = [t for t in genome.tiles(k, tile_bases=tile_bases) if t.chrom_index == ci]
         for lo in range(0, len(tiles), batch_tiles):
             batch = tiles[lo : lo + batch_tiles]
@@ -80,6 +83,7 @@ def count_genome(
                 u, c = count_tile_batch(words, vwords, k, n_pos_words)
             acc.add(u, c)
         codes, counts = acc.finish(lower_count)
+        meter.stop(chrom.length / 1e6)
         total = int(counts.sum())
         logger.info(
             "Counted %s: %d distinct k-mers (count >= %d), %d total",
@@ -90,6 +94,8 @@ def count_genome(
         spectra.append(
             ChromSpectrum(name=chrom.name, codes=codes, counts=counts, total=total)
         )
+    if meter.seconds > 0:
+        meter.log()
     return spectra
 
 
