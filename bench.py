@@ -49,6 +49,9 @@ def bench_tpu(words, vwords):
     import jax.numpy as jnp
 
     from subphaser_tpu.ops.count import count_tile
+    from subphaser_tpu.utils.compcache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     n_pos_words = TILE_BASES // 16
 

@@ -59,6 +59,40 @@ def merge_rle(codes_a, counts_a, codes_b, counts_b):
     return ucodes, ucounts.astype(jnp.int32)
 
 
+@jax.jit
+def _merge_flat(codes, counts):
+    """Sort (code, count) pairs and sum runs; one compile per input size."""
+    codes, counts = jax.lax.sort((codes, counts), num_keys=1)
+    n = codes.size
+    start = jnp.concatenate([jnp.ones(1, bool), codes[1:] != codes[:-1]])
+    (pos,) = jnp.where(start, size=n, fill_value=n)
+    csum = jnp.cumsum(counts)
+    end = jnp.minimum(jnp.diff(pos, append=jnp.int32(n)) + pos, n) - 1
+    run_tot = csum[jnp.maximum(end, 0)] - jnp.where(pos > 0, csum[jnp.maximum(pos - 1, 0)], 0)
+    ucodes = jnp.where(pos < n, codes[jnp.minimum(pos, n - 1)], SENTINEL)
+    ucounts = jnp.where((pos < n) & (ucodes != SENTINEL), run_tot, 0)
+    ucodes = jnp.where(ucounts > 0, ucodes, SENTINEL)
+    return ucodes, ucounts.astype(jnp.int32)
+
+
+def merge_rle_many(parts):
+    """Merge many sorted spectra in ONE sort (vs a pairwise merge tree).
+
+    Pads the concatenation to the next power of two so the jit compiles once
+    per size bucket (amortized by the persistent compilation cache).
+    """
+    if len(parts) == 1:
+        return parts[0]
+    codes = jnp.concatenate([p[0] for p in parts])
+    counts = jnp.concatenate([p[1] for p in parts])
+    total = int(codes.size)
+    cap = 1 << max(total - 1, 1).bit_length()
+    if cap > total:
+        codes = jnp.concatenate([codes, jnp.full(cap - total, SENTINEL, codes.dtype)])
+        counts = jnp.concatenate([counts, jnp.zeros(cap - total, counts.dtype)])
+    return _merge_flat(codes, counts)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "n_pos_words"))
 def count_tile(words, vwords, k: int, n_pos_words: int):
     """Packed tile -> sorted sparse (codes, counts) spectrum."""
@@ -138,30 +172,32 @@ def merge_host(parts: list[tuple[np.ndarray, np.ndarray]]):
 class SpectrumAccumulator:
     """Accumulates per-tile spectra into one chromosome spectrum.
 
-    Device merging is used while arrays stay under ``device_budget`` entries
-    (binary-counter / LSM-style pairwise merges so every element is merged
-    O(log n) times); larger levels spill to the host and are merged with
-    numpy at the end. This replaces the reference's one-dict-in-parent merge
-    that dominates peak RAM (reference Jellyfish.py:446-458).
+    Parts stay on device unmerged until ``finish``, which merges everything
+    in ONE sort (merge_rle_many) — a pairwise merge tree re-sorts every
+    element O(log n) times for no benefit. If the pending parts exceed
+    ``device_budget`` entries they are pre-merged (and spilled to host only
+    beyond the budget — spill transfers are expensive through the remote
+    tunnel). This replaces the reference's one-dict-in-parent merge that
+    dominates peak RAM (reference Jellyfish.py:446-458).
     """
 
-    def __init__(self, device_budget: int = 1 << 26):
+    def __init__(self, device_budget: int = 1 << 28):
         self.device_budget = device_budget
-        self.levels: dict[int, tuple[jnp.ndarray, jnp.ndarray]] = {}
+        self.parts: list[tuple[jnp.ndarray, jnp.ndarray]] = []
+        self.pending = 0
         self.spilled: list[tuple[np.ndarray, np.ndarray]] = []
 
     def add(self, codes: jnp.ndarray, counts: jnp.ndarray) -> None:
-        level = int(np.ceil(np.log2(max(int(codes.size), 1))))
-        entry = (codes, counts)
-        while level in self.levels:
-            other = self.levels.pop(level)
-            merged = merge_rle(entry[0], entry[1], other[0], other[1])
-            entry = merged
-            level += 1
-            if entry[0].size > self.device_budget:
-                self.spilled.append(compact_host(*entry))
-                return
-        self.levels[level] = entry
+        self.parts.append((codes, counts))
+        self.pending += int(codes.size)
+        if self.pending > self.device_budget:
+            merged = merge_rle_many(self.parts)
+            self.parts = [merged]
+            self.pending = int(merged[0].size)
+            if self.pending > self.device_budget:
+                self.spilled.append(compact_host(*merged))
+                self.parts = []
+                self.pending = 0
 
     def finish(self, lower_count: int = 1) -> tuple[np.ndarray, np.ndarray]:
         """Merge everything; apply the per-chromosome dump threshold.
@@ -171,15 +207,10 @@ class SpectrumAccumulator:
         With spills, counts may be split across device and host parts, so
         thresholding happens after the host merge instead.
         """
-        if not self.spilled and lower_count > 1 and len(self.levels) > 0:
-            entry = None
-            for other in self.levels.values():
-                if entry is None:
-                    entry = other
-                else:
-                    entry = merge_rle(entry[0], entry[1], other[0], other[1])
-            self.levels.clear()
-            codes, counts = entry
+        if not self.spilled and lower_count > 1 and self.parts:
+            codes, counts = merge_rle_many(self.parts)
+            self.parts = []
+            self.pending = 0
             m = int(count_surviving(counts, lower_count))
             cap = max(1 << max(m - 1, 1).bit_length(), 1 << 10)
             cap = min(cap, int(codes.shape[0]))
@@ -187,9 +218,10 @@ class SpectrumAccumulator:
             out_c, out_n = compact_host(u, c)
             return out_c, out_n.astype(np.int64)
         parts = list(self.spilled)
-        for entry in self.levels.values():
-            parts.append(compact_host(*entry))
-        self.levels.clear()
+        if self.parts:
+            parts.append(compact_host(*merge_rle_many(self.parts)))
+        self.parts = []
+        self.pending = 0
         self.spilled = []
         codes, counts = merge_host(parts)
         if lower_count > 1:

@@ -89,6 +89,9 @@ class Pipeline:
 
     # ------------------------------------------------------------------
     def run(self):
+        from subphaser_tpu.utils.compcache import enable_compilation_cache
+
+        enable_compilation_cache()
         self.outdir = os.path.realpath(self.outdir)
         self.tmpdir = os.path.realpath(self.tmpdir)
         os.makedirs(self.outdir, exist_ok=True)
