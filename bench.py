@@ -95,6 +95,16 @@ def bench_cpu_numpy(words, vwords):
 
     w = words[0]
     v = vwords[0]
+    best = None
+    for _rep in range(2):  # host load varies; take the best of two
+        t0 = time.time()
+        best = _cpu_once(w, v, best)
+    return best
+
+
+def _cpu_once(w, v, best):
+    from subphaser_tpu.io.encoding import unpack_words
+
     t0 = time.time()
     codes, valid = unpack_words(w, v)
     n_pos = TILE_BASES
@@ -117,9 +127,10 @@ def bench_cpu_numpy(words, vwords):
     counts = np.diff(np.append(idx, canon.size))
     dt = time.time() - t0
     mbp = TILE_BASES / 1e6
-    log(f"CPU numpy baseline: {mbp / dt:.1f} Mbp/s ({dt:.2f}s per tile), "
+    rate = mbp / dt
+    log(f"CPU numpy baseline: {rate:.1f} Mbp/s ({dt:.2f}s per tile), "
         f"{idx.size} distinct, checksum={int(counts.sum())}")
-    return mbp / dt
+    return rate if best is None else max(best, rate)
 
 
 def main():
