@@ -67,7 +67,9 @@ class Tile:
 def tile_words_for(tile_bases: int, k: int) -> int:
     if tile_bases % BASES_PER_WORD:
         raise ValueError("tile_bases must be a multiple of 16")
-    extra = max(1, -(-(k - 1) // BASES_PER_WORD))  # halo words for the k-1 overlap
+    # halo words for the k-1 overlap; the pair-code kernel (k >= 16) reads
+    # two words past every start position regardless of ceil((k-1)/16)
+    extra = 2 if k >= 16 else 1
     return tile_bases // BASES_PER_WORD + extra
 
 

@@ -158,9 +158,11 @@ class PhaseCluster:
             ratios = ",".join(repr(float(v)) for v in means[i])
             fout.write(f"{kmers[i]}\t{sgs[top[i]]}\t{float(pvals[i])!r}\t{ratios}\n")
 
-        canon = codes[keep].astype(np.int32)
+        # k <= 15 codes fit int32 (device table dtype); larger k stay int64
+        dtype = np.int32 if k <= 15 else np.int64
+        canon = codes[keep].astype(dtype)
         canon_sg = top[keep].astype(np.int32)
-        rc = revcomp_code(canon.astype(np.int64), k).astype(np.int32)
+        rc = revcomp_code(canon.astype(np.int64), k).astype(dtype)
         both = np.concatenate([canon, rc])
         both_sg = np.concatenate([canon_sg, canon_sg])
         order = np.argsort(both, kind="stable")

@@ -70,6 +70,19 @@ class FeaturePack:
         """(n_features, n_sg) significant-k-mer hit counts."""
         n_sg = len(sig.sg_names)
         chrom = self.genome.chroms[0]
+        if k > 15:
+            from subphaser_tpu.ops.mapbins_pair import map_genome_bins_pair
+
+            acc = map_genome_bins_pair(
+                self.genome, sig.codes, sig.sg, k, tile_bases, self.slot, n_sg
+            )
+            slots = acc.per_chrom[0]
+            out = np.zeros((len(self.names), n_sg), dtype=np.int64)
+            for i, (s0, ns) in enumerate(
+                zip(self.feature_slot_start, self.slots_per_feature)
+            ):
+                out[i] = slots[s0 : s0 + ns].sum(axis=0)
+            return out
         acc = BinAccumulator([chrom.length], self.slot, n_sg)
         nbt = nbins_for_tile(tile_bases, self.slot)
         codes = np.ascontiguousarray(sig.codes)

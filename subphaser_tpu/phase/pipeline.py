@@ -103,10 +103,10 @@ class Pipeline:
                 if f.endswith((".ok.json", ".ok.npz")):
                     os.remove(os.path.join(self.tmpdir, f))
 
-        if not 1 <= self.k <= 15:
+        if not 1 <= self.k <= 30:
             raise ValueError(
-                f"k={self.k} unsupported: this build packs k-mer codes in "
-                "int32 (k <= 15); the int64 path for k up to 31 is planned"
+                f"k={self.k} unsupported: codes are int32 for k <= 15 and "
+                "(hi, lo) int32 pairs for 16 <= k <= 30"
             )
         logger.info("Target chromosomes: %s", self.chrs)
         genome, labels = self._load_genome()
@@ -283,6 +283,25 @@ class Pipeline:
     def _map_genome_bins(self, sig: SigKmers) -> BinAccumulator:
         logger.info("Mapping %d subgenome-specific kmers to genome bins", len(sig) // 2)
         n_sg = len(self.sg_names)
+        from subphaser_tpu.utils.profiling import Throughput
+
+        meter = Throughput("kmer mapping", unit="Mbp").start()
+        if self.k > 15:
+            from subphaser_tpu.ops.mapbins_pair import map_genome_bins_pair
+
+            acc = map_genome_bins_pair(
+                self.genome, sig.codes, sig.sg, self.k,
+                self.tile_bases, BIN_SIZE, n_sg,
+            )
+            meter.stop(self.genome.total_bases() / 1e6)
+            meter.log()
+            total = max(len(sig), 1)
+            logger.info(
+                "Mapped %d kmer hits; %.2f%% of %d subgenome-specific kmers mapped",
+                acc.mapped_positions, 100.0 * acc.mapped_kmer_count / total,
+                total // 2,
+            )
+            return acc
         sizes = [c.length for c in self.genome.chroms]
         acc = BinAccumulator(sizes, BIN_SIZE, n_sg)
         nbt = nbins_for_tile(self.tile_bases, BIN_SIZE)
@@ -290,9 +309,6 @@ class Pipeline:
         sgs = np.ascontiguousarray(sig.sg)
         n_pos_words = self.tile_bases // 16
         from subphaser_tpu.ops.mapbins import map_tiles_batch
-        from subphaser_tpu.utils.profiling import Throughput
-
-        meter = Throughput("kmer mapping", unit="Mbp").start()
         tiles = list(self.genome.tiles(self.k, tile_bases=self.tile_bases))
         batch = 4 if self.genome.total_bases() > 1e9 else 1
         for lo in range(0, len(tiles), batch):

@@ -61,13 +61,18 @@ def count_genome(
             )
             logger.info("Loaded spectrum checkpoint for %s", chrom.name)
             continue
-        acc = SpectrumAccumulator(device_budget=device_budget)
+        if k <= 15:
+            acc = SpectrumAccumulator(device_budget=device_budget)
+        else:
+            from subphaser_tpu.ops.count_pair import PairSpectrumAccumulator
+
+            acc = PairSpectrumAccumulator(device_budget=device_budget)
         meter.start()
         tiles = [t for t in genome.tiles(k, tile_bases=tile_bases) if t.chrom_index == ci]
         for lo in range(0, len(tiles), batch_tiles):
             batch = tiles[lo : lo + batch_tiles]
             if len(batch) == 1:
-                u, c = count_tile(batch[0].words, batch[0].vwords, k, n_pos_words)
+                words, vwords = batch[0].words, batch[0].vwords
             else:
                 words = np.stack([t.words for t in batch])
                 vwords = np.stack([t.vwords for t in batch])
@@ -80,8 +85,17 @@ def count_genome(
                     vwords = np.concatenate(
                         [vwords, np.zeros((pad,) + vwords.shape[1:], vwords.dtype)]
                     )
-                u, c = count_tile_batch(words, vwords, k, n_pos_words)
-            acc.add(u, c)
+            if k <= 15:
+                if words.ndim == 1:
+                    u, c = count_tile(words, vwords, k, n_pos_words)
+                else:
+                    u, c = count_tile_batch(words, vwords, k, n_pos_words)
+                acc.add(u, c)
+            else:
+                from subphaser_tpu.ops.count_pair import count_tile_batch_pair
+
+                hi, lo_, c = count_tile_batch_pair(words, vwords, k, n_pos_words)
+                acc.add(hi, lo_, c)
         codes, counts = acc.finish(lower_count)
         meter.stop(chrom.length / 1e6)
         total = int(counts.sum())
