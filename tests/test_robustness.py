@@ -87,6 +87,6 @@ def test_kmer_too_large_rejected(tmp_path):
     write_fasta(str(tmp_path / "g.fa"), [("c1", "ACGT" * 100)])
     (tmp_path / "c.cfg").write_text("c1\tc1\n")
     pipe = Pipeline([str(tmp_path / "g.fa")], [str(tmp_path / "c.cfg")],
-                    k=21, outdir=str(tmp_path / "o"), tmpdir=str(tmp_path / "t"))
-    with pytest.raises(ValueError, match="k=21 unsupported"):
+                    k=31, outdir=str(tmp_path / "o"), tmpdir=str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="k=31 unsupported"):
         pipe.run()
