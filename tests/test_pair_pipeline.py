@@ -98,3 +98,21 @@ def test_k17_pipeline_e2e(tmp_path):
     # bin counts present
     bc = next(out.glob("*.subgenome.bin.count")).read_text().splitlines()
     assert len(bc) > 3
+
+
+def test_pair_accumulator_spill_path():
+    """Tiny device budget forces premerge + host spill; results stay exact."""
+    k = 17
+    rng = np.random.default_rng(9)
+    unit = random_seq(rng, 120)
+    seq = unit * 6 + random_seq(rng, 4000)
+    g = PackedGenome.from_dict({"c": seq})
+    acc = PairSpectrumAccumulator(device_budget=1 << 10)
+    for t in g.tiles(k, tile_bases=512):
+        hi, lo, c = count_tile_batch_pair(t.words, t.vwords, k, 512 // 16)
+        acc.add(hi, lo, c)
+    assert acc.spilled, "expected host spills with a tiny budget"
+    codes, counts = acc.finish(3)
+    oracle = count_canonical_kmers(seq, k, lower_count=3)
+    got = dict(zip(codes_to_kmers(codes, k).tolist(), counts.tolist()))
+    assert got == oracle
