@@ -165,6 +165,8 @@ def make_parser() -> argparse.ArgumentParser:
                     help="Remove the temporary directory at the end")
     go.add_argument("-overwrite", action="store_true", default=False,
                     help="Overwrite even if checkpoint files exist")
+    go.add_argument("-trace", metavar="DIR", default=None,
+                    help="Write a jax.profiler device trace to DIR")
     go.add_argument("-v", "-version", action="version", version=__version__)
     return parser
 

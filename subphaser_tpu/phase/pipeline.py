@@ -56,7 +56,7 @@ class Pipeline:
             max_memory=None, aligner="minimap2", aligner_options="-x asm20 -n 10",
             ltr_harvest_options=None, ltr_finder_options=None,
             tesorter_options=None, trimal_options=None, tree_options=None,
-            ggtree_options=None, heatmap_options=None,
+            ggtree_options=None, heatmap_options=None, trace=None,
         )
         defaults.update(kargs)
         self.__dict__.update(defaults)
@@ -89,6 +89,12 @@ class Pipeline:
 
     # ------------------------------------------------------------------
     def run(self):
+        from subphaser_tpu.utils.profiling import trace
+
+        with trace(self.trace):
+            return self._run()
+
+    def _run(self):
         from subphaser_tpu.utils.compcache import enable_compilation_cache
 
         enable_compilation_cache()

@@ -1,0 +1,74 @@
+"""Flag paths: -low_mem, multiple -c configs, -pre prefix, pdf figures, -trace."""
+
+import os
+
+import pytest
+
+from tests.make_synthetic import make_genome
+
+
+@pytest.fixture(scope="module")
+def base(tmp_path_factory):
+    d = tmp_path_factory.mktemp("flags")
+    make_genome(str(d), n_sets=2, chrom_size=60_000)
+    return d
+
+
+def run_cli(args):
+    from subphaser_tpu.cli import main
+
+    main([str(a) for a in args])
+
+
+def test_low_mem_and_pdf(base, tmp_path):
+    run_cli([
+        "-i", base / "genome.fa.gz", "-c", base / "sg.config",
+        "-o", tmp_path / "out", "-tmpdir", tmp_path / "tmp",
+        "-q", "40", "-replicates", "10", "-tile_bases", 1 << 16,
+        "-low_mem", "-just_core", "-figfmt", "pdf",
+    ])
+    pdfs = list((tmp_path / "out").glob("*.pdf"))
+    assert len(pdfs) >= 2
+    assert all(p.stat().st_size > 1000 for p in pdfs)
+
+
+def test_multiple_configs(base, tmp_path):
+    # split the config into two files; union of sets should phase identically
+    lines = [l for l in (base / "sg.config").read_text().splitlines()
+             if l and not l.startswith("#")]
+    (tmp_path / "c1.cfg").write_text(lines[0] + "\n")
+    (tmp_path / "c2.cfg").write_text("\n".join(lines[1:]) + "\n")
+    run_cli([
+        "-i", base / "genome.fa.gz",
+        "-c", tmp_path / "c1.cfg", tmp_path / "c2.cfg",
+        "-o", tmp_path / "out", "-tmpdir", tmp_path / "tmp",
+        "-q", "40", "-replicates", "10", "-tile_bases", 1 << 16,
+        "-just_core", "-figfmt", "png", "-nsg", "2",
+    ])
+    tsv = next((tmp_path / "out").glob("*.chrom-subgenome.tsv")).read_text()
+    assert tsv.count("\n") == 5  # header + 4 chroms
+
+
+def test_prefix_flag(base, tmp_path):
+    os.chdir(tmp_path)
+    run_cli([
+        "-i", base / "genome.fa.gz", "-c", base / "sg.config",
+        "-o", "results", "-tmpdir", "tmpd", "-pre", "myrun_",
+        "-q", "40", "-replicates", "10", "-tile_bases", 1 << 16,
+        "-just_core", "-figfmt", "png",
+    ])
+    # reference semantics: prefix prepends to outdir/tmpdir AND to filenames
+    out = tmp_path / "myrun_results"
+    files = list(out.glob("myrun_k15_q40_f2.*"))
+    assert files, sorted(os.listdir(out))
+
+
+def test_trace_flag(base, tmp_path):
+    run_cli([
+        "-i", base / "genome.fa.gz", "-c", base / "sg.config",
+        "-o", tmp_path / "out", "-tmpdir", tmp_path / "tmp",
+        "-q", "40", "-replicates", "10", "-tile_bases", 1 << 16,
+        "-just_core", "-figfmt", "png", "-trace", tmp_path / "trace",
+    ])
+    # jax profiler writes a plugins/profile tree
+    assert any((tmp_path / "trace").rglob("*"))
