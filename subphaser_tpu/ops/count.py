@@ -120,6 +120,38 @@ def count_tile_batch(words, vwords, k: int, n_pos_words: int):
     return sort_rle(codes.reshape(-1))
 
 
+@functools.partial(jax.jit, static_argnames=("k", "n_pos_words"))
+def extract_codes_batch(words, vwords, k: int, n_pos_words: int):
+    """(T, n_words) packed tiles -> flat canonical codes (no sort)."""
+    from subphaser_tpu.ops.kmer import kmer_codes
+
+    def one(wv):
+        w, v = wv
+        return kmer_codes(w, v, k, n_pos_words).reshape(-1)
+
+    if words.ndim == 1:
+        return kmer_codes(words, vwords, k, n_pos_words).reshape(-1)
+    return jax.lax.map(one, (words, vwords)).reshape(-1)
+
+
+def count_codes_threshold(code_parts, lower_count: int):
+    """Raw code arrays -> host (codes int64-able int32, counts) with
+    count >= lower_count, via ONE keys-only sort of the concatenation
+    (pow2-padded so the compile caches per size bucket)."""
+    codes = code_parts[0] if len(code_parts) == 1 else jnp.concatenate(code_parts)
+    total = int(codes.size)
+    cap = 1 << max(total - 1, 1).bit_length()
+    if cap > total:
+        codes = jnp.concatenate([codes, jnp.full(cap - total, SENTINEL, codes.dtype)])
+    u, c = sort_rle(codes)
+    m = int(count_surviving(c, lower_count))
+    out_cap = max(1 << max(m - 1, 1).bit_length(), 1 << 10)
+    out_cap = min(out_cap, int(u.shape[0]))
+    uu, cc = threshold_compact(u, c, lower_count, out_cap)
+    out_c, out_n = compact_host(uu, cc)
+    return out_c, out_n.astype(np.int64)
+
+
 def compact_host(codes: np.ndarray, counts: np.ndarray):
     """Drop SENTINEL padding on host."""
     m = np.asarray(codes) != SENTINEL

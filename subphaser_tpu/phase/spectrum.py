@@ -61,14 +61,22 @@ def count_genome(
             )
             logger.info("Loaded spectrum checkpoint for %s", chrom.name)
             continue
-        if k <= 15:
-            acc = SpectrumAccumulator(device_budget=device_budget)
-        else:
-            from subphaser_tpu.ops.count_pair import PairSpectrumAccumulator
-
-            acc = PairSpectrumAccumulator(device_budget=device_budget)
         meter.start()
         tiles = [t for t in genome.tiles(k, tile_bases=tile_bases) if t.chrom_index == ci]
+        n_positions = len(tiles) * 16 * n_pos_words
+        # fast path: hold the chromosome's raw codes on device and run ONE
+        # keys-only sort (per-batch RLE + pair merges re-sort every element
+        # and carry counts through the sort for no benefit)
+        fast = k <= 15 and n_positions <= device_budget
+        acc = None
+        code_parts = []
+        if not fast:
+            if k <= 15:
+                acc = SpectrumAccumulator(device_budget=device_budget)
+            else:
+                from subphaser_tpu.ops.count_pair import PairSpectrumAccumulator
+
+                acc = PairSpectrumAccumulator(device_budget=device_budget)
         for lo in range(0, len(tiles), batch_tiles):
             batch = tiles[lo : lo + batch_tiles]
             if len(batch) == 1:
@@ -85,7 +93,11 @@ def count_genome(
                     vwords = np.concatenate(
                         [vwords, np.zeros((pad,) + vwords.shape[1:], vwords.dtype)]
                     )
-            if k <= 15:
+            if fast:
+                from subphaser_tpu.ops.count import extract_codes_batch
+
+                code_parts.append(extract_codes_batch(words, vwords, k, n_pos_words))
+            elif k <= 15:
                 if words.ndim == 1:
                     u, c = count_tile(words, vwords, k, n_pos_words)
                 else:
@@ -96,7 +108,12 @@ def count_genome(
 
                 hi, lo_, c = count_tile_batch_pair(words, vwords, k, n_pos_words)
                 acc.add(hi, lo_, c)
-        codes, counts = acc.finish(lower_count)
+        if fast:
+            from subphaser_tpu.ops.count import count_codes_threshold
+
+            codes, counts = count_codes_threshold(code_parts, lower_count)
+        else:
+            codes, counts = acc.finish(lower_count)
         meter.stop(chrom.length / 1e6)
         total = int(counts.sum())
         logger.info(
