@@ -314,10 +314,13 @@ class Pipeline:
         codes = np.ascontiguousarray(sig.codes)
         sgs = np.ascontiguousarray(sig.sg)
         n_pos_words = self.tile_bases // 16
-        from subphaser_tpu.ops.mapbins import (
-            count_batch_hits,
-            map_tiles_batch_compact,
-        )
+        from subphaser_tpu.ops.mapbins import map_tiles_batch
+
+        # NOTE (measured on chip, 1.6 Gb run): the membership searchsorted
+        # dominates mapping cost, not the sorts — a hit-compaction variant
+        # (ops/mapbins.map_tiles_batch_compact) that recounts hits first ran
+        # 2x SLOWER by doubling that pass. Round-2 lever: replace the binary
+        # search with a dense/direct-addressed sig lookup table.
         tiles = list(self.genome.tiles(self.k, tile_bases=self.tile_bases))
         batch = 4 if self.genome.total_bases() > 1e9 else 1
         for lo in range(0, len(tiles), batch):
@@ -330,22 +333,11 @@ class Pipeline:
                 words = np.concatenate([words, np.zeros((pad,) + words.shape[1:], words.dtype)])
                 vwords = np.concatenate([vwords, np.zeros((pad,) + vwords.shape[1:], vwords.dtype)])
                 starts = np.concatenate([starts, np.zeros(pad, np.int32)])
-            # hits are a few percent of positions: count them first (cheap
-            # reduction, no sort), then sort only a compacted hit prefix
-            n_hits = int(count_batch_hits(
-                words, vwords, codes, k=self.k, n_pos_words=n_pos_words))
-            per_tile = -(-max(n_hits, 1) // max(len(bt), 1))
-            cap = 1 << max(int(per_tile * 1.3) - 1, 1).bit_length()
-            cap = min(max(cap, 1 << 12), 16 * n_pos_words)
-            while True:
-                bcs, hitmask, overflow = map_tiles_batch_compact(
-                    words, vwords, codes, sgs, starts,
-                    k=self.k, n_pos_words=n_pos_words, bin_size=BIN_SIZE,
-                    n_sg=n_sg, nbins_tile=nbt, cap=cap,
-                )
-                if not bool(overflow) or cap >= 16 * n_pos_words:
-                    break
-                cap = min(cap * 4, 16 * n_pos_words)
+            bcs, hitmask = map_tiles_batch(
+                words, vwords, codes, sgs, starts,
+                k=self.k, n_pos_words=n_pos_words, bin_size=BIN_SIZE,
+                n_sg=n_sg, nbins_tile=nbt,
+            )
             bcs = np.asarray(bcs)
             for i, t in enumerate(bt):
                 acc.add(t.chrom_index, bcs[i], t.start // BIN_SIZE,
