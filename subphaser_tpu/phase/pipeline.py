@@ -314,13 +314,20 @@ class Pipeline:
         codes = np.ascontiguousarray(sig.codes)
         sgs = np.ascontiguousarray(sig.sg)
         n_pos_words = self.tile_bases // 16
-        from subphaser_tpu.ops.mapbins import map_tiles_batch
+        # membership: measured on chip, vectorized searchsorted runs at only
+        # ~8 M lookups/s while a direct gather from a dense 4^k table does
+        # ~67 M/s — build the (4^k x int32) table when the genome is large
+        # enough to amortize its cost (4 GB at k=15)
+        use_dense = self.genome.total_bases() >= 50_000_000
+        if use_dense:
+            from subphaser_tpu.ops.mapbins_dense import (
+                build_sig_table,
+                map_tiles_batch_dense,
+            )
 
-        # NOTE (measured on chip, 1.6 Gb run): the membership searchsorted
-        # dominates mapping cost, not the sorts — a hit-compaction variant
-        # (ops/mapbins.map_tiles_batch_compact) that recounts hits first ran
-        # 2x SLOWER by doubling that pass. Round-2 lever: replace the binary
-        # search with a dense/direct-addressed sig lookup table.
+            table = build_sig_table(codes, self.k)
+        else:
+            from subphaser_tpu.ops.mapbins import map_tiles_batch
         tiles = list(self.genome.tiles(self.k, tile_bases=self.tile_bases))
         batch = 4 if self.genome.total_bases() > 1e9 else 1
         for lo in range(0, len(tiles), batch):
@@ -333,11 +340,22 @@ class Pipeline:
                 words = np.concatenate([words, np.zeros((pad,) + words.shape[1:], words.dtype)])
                 vwords = np.concatenate([vwords, np.zeros((pad,) + vwords.shape[1:], vwords.dtype)])
                 starts = np.concatenate([starts, np.zeros(pad, np.int32)])
-            bcs, hitmask = map_tiles_batch(
-                words, vwords, codes, sgs, starts,
-                k=self.k, n_pos_words=n_pos_words, bin_size=BIN_SIZE,
-                n_sg=n_sg, nbins_tile=nbt,
-            )
+            if use_dense:
+                if batch > 1:
+                    w_in, v_in, s_in = words, vwords, starts
+                else:
+                    w_in, v_in, s_in = words[0], vwords[0], np.int32(starts[0])
+                bcs, hitmask = map_tiles_batch_dense(
+                    w_in, v_in, table, sgs, s_in,
+                    k=self.k, n_pos_words=n_pos_words, bin_size=BIN_SIZE,
+                    n_sg=n_sg, nbins_tile=nbt,
+                )
+            else:
+                bcs, hitmask = map_tiles_batch(
+                    words, vwords, codes, sgs, starts,
+                    k=self.k, n_pos_words=n_pos_words, bin_size=BIN_SIZE,
+                    n_sg=n_sg, nbins_tile=nbt,
+                )
             bcs = np.asarray(bcs)
             for i, t in enumerate(bt):
                 acc.add(t.chrom_index, bcs[i], t.start // BIN_SIZE,

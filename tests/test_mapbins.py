@@ -50,3 +50,44 @@ def test_map_tile_bins_oracle():
 def _all_substrings(seq, k):
     su = seq.upper()
     return {su[i : i + k] for i in range(len(su) - k + 1)}
+
+
+def test_map_tiles_batch_dense_oracle():
+    """Dense-table mapping path vs the dict oracle (small k keeps the table tiny)."""
+    import numpy as np
+    from subphaser_tpu.ops.mapbins_dense import build_sig_table, map_tiles_batch_dense
+
+    k, bin_size, n_sg = 11, 100, 2
+    rng = np.random.default_rng(7)
+    seq = random_seq(rng, 2500, n_frac=0.01)
+    d_kmers = {}
+    for pos in range(0, 2000, 41):
+        kmer = seq[pos : pos + k]
+        if "N" in kmer:
+            continue
+        sg = (pos // 400) % n_sg
+        d_kmers[kmer] = sg
+        d_kmers[revcomp(kmer)] = sg
+    codes = np.array(sorted(kmer_code(s) for s in d_kmers), dtype=np.int32)
+    sgs = np.array([d_kmers[s] for s in sorted(d_kmers, key=kmer_code)], dtype=np.int32)
+    table = build_sig_table(codes, k)
+
+    g = PackedGenome.from_dict({"c": seq})
+    tile_bases = 1024
+    nbt = nbins_for_tile(tile_bases, bin_size)
+    acc = BinAccumulator([len(seq)], bin_size, n_sg)
+    for t in g.tiles(k, tile_bases=tile_bases):
+        bcs, hm = map_tiles_batch_dense(
+            t.words, t.vwords, table, sgs, np.int32(t.start),
+            k=k, n_pos_words=tile_bases // 16, bin_size=bin_size,
+            n_sg=n_sg, nbins_tile=nbt,
+        )
+        acc.add(t.chrom_index, np.asarray(bcs)[0], t.start // bin_size, hm)
+
+    expected = map_kmers_to_bins(seq, d_kmers, k, bin_size, n_sg)
+    got = acc.per_chrom[0]
+    for b in range(got.shape[0]):
+        np.testing.assert_array_equal(got[b], expected.get(b, [0] * n_sg),
+                                      err_msg=f"bin {b}")
+    hit = {s for s in d_kmers if s in _all_substrings(seq, k)}
+    assert acc.mapped_kmer_count == len({kmer_code(s) for s in hit})
