@@ -119,12 +119,13 @@ def seed_pairs(
     mask = jnp.stack(masks).reshape(-1)
     iarr = jnp.stack(ii).reshape(-1)
     jarr = jnp.stack(jj).reshape(-1)
+    n_total = jnp.sum(mask)
     (sel,) = jnp.where(mask, size=cap, fill_value=mask.shape[0])
     valid = sel < mask.shape[0]
     sel_c = jnp.minimum(sel, mask.shape[0] - 1)
     out_i = jnp.where(valid, iarr[sel_c], -1)
     out_j = jnp.where(valid, jarr[sel_c], -1)
-    return out_i, out_j
+    return out_i, out_j, n_total
 
 
 def detect_ltr_chrom(
@@ -150,11 +151,24 @@ def detect_ltr_chrom(
             continue
         words[:avail] = chrom.packed[w0 : w0 + avail]
         vwords[:avail] = chrom.vmask[w0 : w0 + avail]
-        si, sj = seed_pairs(
-            words, vwords, k=k, n_pos_words=n_pos_words,
-            mindist=prm["mindistltr"], maxdist=prm["maxdistltr"],
-            cap=seed_cap,
-        )
+        cap = seed_cap
+        while True:
+            si, sj, n_total = seed_pairs(
+                words, vwords, k=k, n_pos_words=n_pos_words,
+                mindist=prm["mindistltr"], maxdist=prm["maxdistltr"],
+                cap=cap,
+            )
+            n_total = int(n_total)
+            if n_total <= cap:
+                break
+            if cap >= (1 << 23):
+                logger.warning(
+                    "LTR seed cap overflow on %s @%d: %d pairs > cap %d; "
+                    "repeat-dense region, candidates may be incomplete",
+                    chrom.name, start, n_total, cap,
+                )
+                break
+            cap *= 4  # repeat-dense tile: retry with more room
         si = np.asarray(si)
         sj = np.asarray(sj)
         m = si >= 0

@@ -74,7 +74,13 @@ def load():
             return _lib
         if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
             _build()
-        lib = ctypes.CDLL(_SO)
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            # stale/foreign-ABI artifact (e.g. checked out on another
+            # platform): rebuild from source and retry once
+            _build()
+            lib = ctypes.CDLL(_SO)
         lib.sp_banded_identity.restype = ctypes.c_double
         lib.sp_banded_identity.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,

@@ -70,7 +70,7 @@ class LTRPipeline:
         if ltr_count == 0:
             return [], ""
 
-        d_seqs = {c.name: c.to_seq() for c in self.genome.chroms}
+        self.d_seqs = d_seqs = {c.name: c.to_seq() for c in self.genome.chroms}
         d_class = self.classify(ltrs, d_seqs)
 
         filtered: list[LTRRecord] = []

@@ -34,13 +34,14 @@ def sampled_anchors(words, vwords, *, k: int, n_pos_words: int, mod: int, cap: i
     pos = w * 16 + p
     take = (canon != SENTINEL) & (canon % mod == 0)
     flat = take.reshape(-1)
+    n_total = jnp.sum(flat)
     (sel,) = jnp.where(flat, size=cap, fill_value=flat.shape[0])
     valid = sel < flat.shape[0]
     sel_c = jnp.minimum(sel, flat.shape[0] - 1)
     out_c = jnp.where(valid, canon.reshape(-1)[sel_c], SENTINEL)
     out_p = jnp.where(valid, pos.reshape(-1)[sel_c], -1)
     out_s = jnp.where(valid, strand.reshape(-1)[sel_c], 0)
-    return out_c, out_p, out_s
+    return out_c, out_p, out_s, n_total
 
 
 def chrom_anchors(
@@ -63,9 +64,17 @@ def chrom_anchors(
             continue
         words[:avail] = chrom.packed[w0 : w0 + avail]
         vwords[:avail] = chrom.vmask[w0 : w0 + avail]
-        c, p, s = sampled_anchors(
+        c, p, s, n_total = sampled_anchors(
             words, vwords, k=k, n_pos_words=n_pos_words, mod=mod, cap=cap
         )
+        if int(n_total) > cap:
+            from subphaser_tpu.utils.log import logger
+
+            logger.warning(
+                "anchor cap overflow on %s @%d: %d sampled > cap %d; "
+                "alignment seeds truncated",
+                chrom.name, start, int(n_total), cap,
+            )
         c, p, s = np.asarray(c), np.asarray(p), np.asarray(s)
         m = c != SENTINEL
         codes.append(c[m])

@@ -138,6 +138,8 @@ def count_codes_threshold(code_parts, lower_count: int):
     """Raw code arrays -> host (codes int64-able int32, counts) with
     count >= lower_count, via ONE keys-only sort of the concatenation
     (pow2-padded so the compile caches per size bucket)."""
+    if not code_parts:  # zero-length chromosome
+        return np.empty(0, np.int32), np.empty(0, np.int64)
     codes = code_parts[0] if len(code_parts) == 1 else jnp.concatenate(code_parts)
     total = int(codes.size)
     cap = 1 << max(total - 1, 1).bit_length()

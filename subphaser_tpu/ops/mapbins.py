@@ -87,90 +87,6 @@ def map_tile_bins(
     return bin_counts, jnp.int32(first_bin), hitmask
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_pos_words"))
-def count_batch_hits(words, vwords, sig_codes, *, k: int, n_pos_words: int):
-    """Number of sig-table hits in a batch of tiles (reduction only, no sort)."""
-    m = sig_codes.shape[0]
-
-    def one(wv):
-        w, v = wv
-        fcodes = forward_codes(w, v, k, n_pos_words)
-        idx = jnp.searchsorted(sig_codes, fcodes)
-        idx_c = jnp.minimum(idx, m - 1)
-        hit = (idx < m) & (sig_codes[idx_c] == fcodes) & (fcodes != SENTINEL)
-        return jnp.sum(hit)
-
-    if words.ndim == 1:
-        return one((words, vwords))
-    return jnp.sum(jax.lax.map(one, (words, vwords)))
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "n_pos_words", "bin_size", "n_sg", "nbins_tile", "cap"),
-)
-def map_tiles_batch_compact(
-    words, vwords, sig_codes, sig_sg, starts,
-    *, k: int, n_pos_words: int, bin_size: int, n_sg: int, nbins_tile: int,
-    cap: int,
-):
-    """Batch mapping with hit compaction: only ``cap`` hit entries are
-    sorted per tile instead of every position (hits are typically a few
-    percent of positions, so the two sorts shrink ~10x).
-
-    Returns (bin_counts (T, nbins, n_sg), hitmask (M,), overflow bool).
-    """
-    m = sig_codes.shape[0]
-
-    def one(args):
-        w, v, start = args
-        fcodes = forward_codes(w, v, k, n_pos_words)
-        idx = jnp.searchsorted(sig_codes, fcodes)
-        idx_c = jnp.minimum(idx, m - 1)
-        hit = (idx < m) & (sig_codes[idx_c] == fcodes) & (fcodes != SENTINEL)
-        n_hits = jnp.sum(hit)
-        p = jax.lax.broadcasted_iota(jnp.int32, fcodes.shape, 0)
-        w_i = jax.lax.broadcasted_iota(jnp.int32, fcodes.shape, 1)
-        pos = start + w_i * BASES_PER_WORD + p
-        first_bin = start // bin_size
-        local_bin = pos // bin_size - first_bin
-        key = jnp.where(hit, local_bin * n_sg + sig_sg[idx_c], SENTINEL)
-        flat_key = key.reshape(-1)
-        flat_idx = jnp.where(hit, idx_c, SENTINEL).reshape(-1)
-        (sel,) = jnp.where(flat_key != SENTINEL, size=cap, fill_value=flat_key.size)
-        valid = sel < flat_key.size
-        sel_c = jnp.minimum(sel, flat_key.size - 1)
-        ckey = jnp.where(valid, flat_key[sel_c], SENTINEL)
-        cidx = jnp.where(valid, flat_idx[sel_c], SENTINEL)
-
-        skey = jnp.sort(ckey)
-        n = skey.shape[0]
-        start_run = jnp.concatenate([jnp.ones(1, bool), skey[1:] != skey[:-1]])
-        (rpos,) = jnp.where(start_run, size=n, fill_value=n)
-        ukeys = jnp.where(rpos < n, skey[jnp.minimum(rpos, n - 1)], SENTINEL)
-        rcounts = jnp.diff(rpos, append=jnp.int32(n))
-        rcounts = jnp.where(ukeys == SENTINEL, 0, rcounts)
-        dense_keys = jnp.arange(nbins_tile * n_sg, dtype=jnp.int32)
-        di = jnp.searchsorted(ukeys, dense_keys)
-        di_c = jnp.minimum(di, n - 1)
-        bc = jnp.where(
-            (di < n) & (ukeys[di_c] == dense_keys), rcounts[di_c], 0
-        ).astype(jnp.int32).reshape(nbins_tile, n_sg)
-
-        sidx = jnp.sort(cidx)
-        dense_j = jnp.arange(m, dtype=sidx.dtype)
-        dj = jnp.searchsorted(sidx, dense_j)
-        dj_c = jnp.minimum(dj, sidx.shape[0] - 1)
-        hm = (dj < sidx.shape[0]) & (sidx[dj_c] == dense_j)
-        return bc, hm, n_hits > cap
-
-    if words.ndim == 1:
-        bc, hm, ovf = one((words, vwords, starts))
-        return bc[None], hm, ovf
-    bcs, hms, ovfs = jax.lax.map(one, (words, vwords, starts))
-    return bcs, jnp.any(hms, axis=0), jnp.any(ovfs)
-
-
 @functools.partial(
     jax.jit, static_argnames=("k", "n_pos_words", "bin_size", "n_sg", "nbins_tile")
 )

@@ -150,13 +150,23 @@ def _phase_step_local(
 
     tile_counts = jax.lax.map(body, (words, vwords))  # (T_local, B_local)
 
-    # partial chrom x k-mer matrix: one MXU matmul, then merge over "data"
-    partial = tile_counts.astype(jnp.float32).T @ chrom_onehot  # (B_local, C)
-    counts = jax.lax.psum(partial, "data")
+    # partial chrom x k-mer matrix: integer dot so counts stay exact above
+    # 2^24 (a float32 MXU matmul would round totals and flip min/max_freq
+    # window decisions vs the exact int64 host path)
+    partial = jax.lax.dot_general(
+        tile_counts.T,
+        chrom_onehot.astype(jnp.int32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (B_local, C) int32
+    counts_i = jax.lax.psum(partial, "data")
 
     # ---- differential gates (shard-local on the kmer axis) ----
-    tot = jnp.sum(counts, axis=1)
+    # int32 totals: exact for genome-wide k-mer totals < 2^31 (beyond that
+    # the host pipeline's int64 path is authoritative)
+    tot = jnp.sum(counts_i, axis=1)
     in_window = (tot >= min_freq) & (tot <= max_freq)
+    counts = counts_i.astype(jnp.float32)
     gcount = counts @ member.T  # (B_local, G)
     glen = member @ lengths
     gfreq = gcount / glen * jnp.float32(1e6)
@@ -185,7 +195,7 @@ def _phase_step_local(
     z = jnp.where(diff[None, :], z, 0.0)  # masked features == dropped columns
     labels = _sh_kmeans(z, key, n_clusters)
     labels = _canonical_labels(labels, order, n_clusters)
-    return labels, counts.astype(jnp.int32), diff
+    return labels, counts_i, diff
 
 
 def build_phase_step(

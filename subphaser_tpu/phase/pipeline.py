@@ -18,7 +18,7 @@ from subphaser_tpu import config as cfgmod
 from subphaser_tpu.io.fasta import xopen
 from subphaser_tpu.io.genome import DEFAULT_TILE_BASES, PackedGenome
 from subphaser_tpu.ops.filter import make_group_spec
-from subphaser_tpu.ops.mapbins import BinAccumulator, map_tile_bins, nbins_for_tile
+from subphaser_tpu.ops.mapbins import BinAccumulator, nbins_for_tile
 from subphaser_tpu.phase import enrich as enrichmod
 from subphaser_tpu.phase.cluster import PhaseCluster, SigKmers, write_matrix_file
 from subphaser_tpu.phase.features import FeaturePack
@@ -149,6 +149,7 @@ class Pipeline:
             genome, self.k, lower_count=self.lower_count,
             tile_bases=self.tile_bases, device_budget=device_budget,
             batch_tiles=batch_tiles, checkpoint=self.ckp,
+            genome_id=self._genome_id,
         )
 
         # differential filter
@@ -258,6 +259,9 @@ class Pipeline:
 
     # ------------------------------------------------------------------
     def _load_genome(self) -> tuple[PackedGenome, list[str]]:
+        import hashlib
+        import json
+
         self.targets = cfgmod.parse_idmap(self.target) or cfgmod.build_targets(
             self.chrs, self.sep
         )
@@ -266,6 +270,11 @@ class Pipeline:
             "targets": list(self.targets.items()),
             "prefixes": self.labels,
         }
+        # digest ties downstream checkpoints (per-chromosome spectra) to the
+        # exact input files so a changed genome invalidates cached counts
+        self._genome_id = hashlib.sha256(
+            json.dumps(params, sort_keys=True, default=str).encode()
+        ).hexdigest()[:16]
         cache = os.path.join(self.tmpdir, "genome.packed.npz")
         if self.ckp.has("genome.packed", params) and os.path.exists(cache):
             genome = PackedGenome.load(cache)
@@ -430,7 +439,11 @@ class Pipeline:
             return [], []
 
         # map SG-specific k-mers onto LTR sequences (reference __main__.py:567-578)
-        d_seqs = {c.name: c.to_seq() for c in self.genome.chroms}
+        # reuse the decoded sequences LTRPipeline already built (a second
+        # full-genome decode would double peak host memory on Gb genomes)
+        d_seqs = getattr(lpipe, "d_seqs", None) or {
+            c.name: c.to_seq() for c in self.genome.chroms
+        }
         records = [(ltr.id, ltr.get_full_seq(d_seqs[ltr.seq_id])) for ltr in ltrs]
         pack = FeaturePack.build(records, self.k)
         counts = pack.map_counts(sig, self.k)

@@ -41,11 +41,16 @@ def count_genome(
     device_budget: int = 1 << 28,
     batch_tiles: int = 4,
     checkpoint=None,
+    genome_id: str | None = None,
 ) -> list[ChromSpectrum]:
-    """Count canonical k-mers per chromosome on device."""
+    """Count canonical k-mers per chromosome on device.
+
+    ``genome_id`` (e.g. an input-file digest) is folded into the checkpoint
+    key so a changed genome invalidates cached spectra.
+    """
     spectra: list[ChromSpectrum] = []
     n_pos_words = tile_bases // 16
-    params = {"k": k, "lower_count": lower_count}
+    params = {"k": k, "lower_count": lower_count, "genome": genome_id}
     meter = Throughput("kmer counting", unit="Mbp")
     for ci, chrom in enumerate(genome.chroms):
         ckp_name = f"spectrum.{chrom.name}"
