@@ -92,6 +92,69 @@ def ttest_ind_from_stats(m1, v1, n1, m2, v2, n2):
     return p
 
 
+def _rank_avg(values):
+    """Average ranks (ties averaged) along the last axis via pairwise
+    compares — group sizes are chromosome counts, so n is tiny."""
+    v = values[..., :, None]
+    w = values[..., None, :]
+    less = jnp.sum(w < v, axis=-1)
+    equal = jnp.sum(w == v, axis=-1)
+    return less + (equal + 1.0) / 2.0
+
+
+@jax.jit
+def mannwhitneyu(x, y):
+    """Two-sided Mann-Whitney U p-value, normal approximation with tie
+    correction and continuity (scipy mannwhitneyu(method='asymptotic')
+    parity; the host path uses scipy's exact method where scipy does).
+    x: (B, n1), y: (B, n2).
+    """
+    n1 = x.shape[-1]
+    n2 = y.shape[-1]
+    both = jnp.concatenate([x, y], axis=-1)
+    ranks = _rank_avg(both)
+    r1 = jnp.sum(ranks[..., :n1], axis=-1)
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    u = jnp.maximum(u1, n1 * n2 - u1)
+    mu = n1 * n2 / 2.0
+    n = n1 + n2
+    # tie correction: sum over tie groups of (t^3 - t)
+    counts = jnp.sum(both[..., :, None] == both[..., None, :], axis=-1)
+    tie_sum = jnp.sum((counts * counts - 1.0), axis=-1)  # sum_i (t_i^2 - 1)
+    sigma2 = n1 * n2 / 12.0 * ((n + 1.0) - tie_sum / (n * (n - 1.0)))
+    sigma = jnp.sqrt(jnp.maximum(sigma2, 1e-30))
+    z = (u - mu - 0.5) / sigma
+    p = jax.scipy.special.erfc(jnp.maximum(z, 0.0) / jnp.sqrt(2.0))
+    return jnp.clip(p, 0.0, 1.0)
+
+
+@jax.jit
+def kruskal(groups_values, group_sizes):
+    """Kruskal-Wallis H-test p-value (chi2 approximation, scipy parity).
+
+    groups_values: (B, n_total) concatenated group observations;
+    group_sizes: static-like int array (G,) with sum == n_total.
+    """
+    ranks = _rank_avg(groups_values)
+    n = groups_values.shape[-1]
+    sizes = jnp.asarray(group_sizes)
+    g = sizes.shape[0]
+    idx = jnp.arange(n)
+    group_of = jnp.sum(idx[None, :] >= jnp.cumsum(sizes)[:, None], axis=0)  # (n,)
+    onehot = jax.nn.one_hot(group_of, g, dtype=ranks.dtype)
+    r_sums = ranks @ onehot  # (B, G)
+    h = 12.0 / (n * (n + 1.0)) * jnp.sum(r_sums**2 / sizes, axis=-1) - 3.0 * (n + 1.0)
+    # tie correction
+    counts = jnp.sum(
+        groups_values[..., :, None] == groups_values[..., None, :], axis=-1
+    )
+    tie_sum = jnp.sum(counts * counts - 1.0, axis=-1)
+    correction = 1.0 - tie_sum / (n**3 - n)
+    h = h / jnp.maximum(correction, 1e-30)
+    df = g - 1.0
+    return jax.scipy.special.gammaincc(df / 2.0, jnp.maximum(h, 0.0) / 2.0)
+
+
 @jax.jit
 def bh_fdr(pvals):
     p = jnp.asarray(pvals)

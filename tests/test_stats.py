@@ -84,3 +84,30 @@ def test_test_top2_matches_scipy_rowwise(method):
         expected = test(freqs[i, group_idx[order[0]]], freqs[i, group_idx[order[1]]]).pvalue
         assert pvals[i] == pytest.approx(expected, rel=1e-9)
         np.testing.assert_allclose(means[i], m)
+
+
+def test_device_mannwhitneyu_matches_scipy_asymptotic():
+    rng = np.random.default_rng(6)
+    x = rng.integers(0, 10, size=(50, 5)).astype(np.float32)  # ties likely
+    y = rng.integers(0, 10, size=(50, 7)).astype(np.float32)
+    p = np.asarray(dstats.mannwhitneyu(x, y))
+    for i in range(50):
+        expected = sps.mannwhitneyu(
+            x[i], y[i], alternative="two-sided", method="asymptotic"
+        ).pvalue
+        assert p[i] == pytest.approx(expected, rel=1e-4), i
+
+
+def test_device_kruskal_matches_scipy():
+    rng = np.random.default_rng(7)
+    g1 = rng.integers(0, 12, size=(40, 4)).astype(np.float32)
+    g2 = rng.integers(0, 12, size=(40, 5)).astype(np.float32)
+    g3 = rng.integers(0, 12, size=(40, 3)).astype(np.float32)
+    allv = np.concatenate([g1, g2, g3], axis=1)
+    p = np.asarray(dstats.kruskal(allv, np.array([4, 5, 3])))
+    for i in range(40):
+        try:
+            expected = sps.kruskal(g1[i], g2[i], g3[i]).pvalue
+        except ValueError:  # all values identical
+            continue
+        assert p[i] == pytest.approx(expected, rel=1e-4), i
