@@ -22,4 +22,26 @@ replaces the compute path with on-device TPU kernels:
 
 from subphaser_tpu.version import __version__
 
-__all__ = ["__version__"]
+__all__ = [
+    "__version__",
+    "Pipeline",
+    "PackedGenome",
+    "SGConfig",
+]
+
+
+def __getattr__(name):
+    # lazy re-exports so `import subphaser_tpu` stays light
+    if name == "Pipeline":
+        from subphaser_tpu.phase.pipeline import Pipeline
+
+        return Pipeline
+    if name == "PackedGenome":
+        from subphaser_tpu.io.genome import PackedGenome
+
+        return PackedGenome
+    if name == "SGConfig":
+        from subphaser_tpu.config import SGConfig
+
+        return SGConfig
+    raise AttributeError(name)

@@ -187,9 +187,11 @@ def circos_plot(
                 color = d_colors.get(d_sg.get(rec.qname), "#999999")
                 verts = [(a_q, inner), (0, 0), (a_t, inner)]
                 codes = [Path.MOVETO, Path.CURVE3, Path.CURVE3]
+                # width scales with block span so big syntenic blocks read
+                lw = min(0.5 + 4.0 * rec.qspan / max(rec.qlen, 1), 5.0)
                 ax.add_patch(
-                    PathPatch(Path(verts, codes), fill=False, lw=0.7,
-                              edgecolor=color, alpha=0.5)
+                    PathPatch(Path(verts, codes), fill=False, lw=lw,
+                              edgecolor=color, alpha=0.45)
                 )
 
     fig.savefig(outfig, bbox_inches="tight")
