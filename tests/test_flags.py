@@ -72,3 +72,49 @@ def test_trace_flag(base, tmp_path):
     ])
     # jax profiler writes a plugins/profile tree
     assert any((tmp_path / "trace").rglob("*"))
+
+
+def test_min_prop_overrides_min_freq(base, tmp_path, caplog):
+    import logging
+
+    with caplog.at_level(logging.INFO, logger="subphaser_tpu"):
+        run_cli([
+            "-i", base / "genome.fa.gz", "-c", base / "sg.config",
+            "-o", tmp_path / "out", "-tmpdir", tmp_path / "tmp",
+            "-min_prop", "0.0005", "-replicates", "10", "-tile_bases", 1 << 16,
+            "-just_core", "-figfmt", "png",
+        ])
+    assert any("Adjust `min_freq`" in r.message for r in caplog.records)
+    assert list((tmp_path / "out").glob("*.chrom-subgenome.tsv"))
+
+
+def test_by_count_and_baseline(base, tmp_path):
+    run_cli([
+        "-i", base / "genome.fa.gz", "-c", base / "sg.config",
+        "-o", tmp_path / "out", "-tmpdir", tmp_path / "tmp",
+        "-q", "40", "-by_count", "-baseline", "-1",
+        "-replicates", "10", "-tile_bases", 1 << 16,
+        "-just_core", "-figfmt", "png",
+    ])
+    tsv = next((tmp_path / "out").glob("*.chrom-subgenome.tsv")).read_text()
+    assign = dict(l.split("\t")[:2] for l in tsv.splitlines()[1:])
+    assert assign["A1"] != assign["B1"]
+
+
+def test_k17_custom_features(base, tmp_path):
+    """Pair-code path through FeaturePack via -custom_features at k=17."""
+    from subphaser_tpu.io.fasta import iter_fasta, write_fasta
+
+    recs = list(iter_fasta(str(base / "genome.fa.gz")))
+    feats = [(f"f_{r[0]}", r[2].tobytes().decode()[5000:15000]) for r in recs]
+    featfa = tmp_path / "feats.fa"
+    write_fasta(str(featfa), feats)
+    run_cli([
+        "-i", base / "genome.fa.gz", "-c", base / "sg.config",
+        "-o", tmp_path / "out", "-tmpdir", tmp_path / "tmp",
+        "-k", "17", "-q", "40", "-replicates", "10", "-tile_bases", 1 << 16,
+        "-custom_features", featfa, "-disable_ltr", "-disable_circos",
+        "-figfmt", "png", "-window_size", "40000",
+    ])
+    enrich = next((tmp_path / "out").glob("*.custom.enrich")).read_text().splitlines()
+    assert len(enrich) > 2
