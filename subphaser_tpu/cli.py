@@ -72,7 +72,9 @@ def make_parser() -> argparse.ArgumentParser:
     gk.add_argument("-by_count", action="store_true", default=False,
                     help="Calculate fold by count instead of by proportion")
     gk.add_argument("-re_filter", action="store_true", default=False,
-                    help="Re-filter with a subset of chromosomes")
+                    help="Re-filter with a subset of chromosomes (always "
+                    "effective here: per-chromosome counts are reused across "
+                    "target-set changes and downstream steps recompute)")
     gk.add_argument("-tile_bases", type=int, default=1 << 23, metavar="INT",
                     help="Device tile size in bases [default=%(default)s]")
 
@@ -110,7 +112,8 @@ def make_parser() -> argparse.ArgumentParser:
     gl.add_argument("-ltr_harvest_options", metavar="STR",
                     default="-seqids yes -similar 80 -vic 10 -seed 20 -minlenltr 100 "
                     "-maxlenltr 7000 -mintsd 4 -maxtsd 6")
-    gl.add_argument("-tesorter_options", metavar="STR", default="-db rexdb -dp2")
+    gl.add_argument("-tesorter_options", metavar="STR", default="-db rexdb -dp2",
+                    help="(compat) ignored; native classifier uses -hmm_db")
     gl.add_argument("-hmm_db", metavar="FILE", default=None,
                     help="HMMER3 profile database (REXdb-style names) for native "
                     "TE classification; without it, -all_ltr behavior applies")
@@ -131,12 +134,16 @@ def make_parser() -> argparse.ArgumentParser:
     gl.add_argument("-ltr_domains", nargs="+", default=["INT", "RT", "RH"],
                     choices=["GAG", "PROT", "INT", "RT", "RH", "AP", "RNaseH"],
                     help="Domains for the LTR tree")
-    gl.add_argument("-trimal_options", metavar="STR", default="-automated1")
+    gl.add_argument("-trimal_options", metavar="STR", default="-automated1",
+                    help="(compat) ignored by the native tree backend")
     gl.add_argument("-tree_method", default="FastTree", choices=["iqtree", "FastTree"],
-                    help="Tree construction method")
-    gl.add_argument("-tree_options", metavar="STR", default="")
+                    help="(compat) tree construction method; the native "
+                    "backend builds NJ trees from domain/element sketches")
+    gl.add_argument("-tree_options", metavar="STR", default="",
+                    help="(compat) ignored by the native tree backend")
     gl.add_argument("-ggtree_options", metavar="STR",
-                    default="branch.length='none', layout='circular'")
+                    default="branch.length='none', layout='circular'",
+                    help="(compat) ignored; figures are matplotlib")
 
     gcir = parser.add_argument_group("Circos", "Options for circos plot")
     gcir.add_argument("-disable_circos", action="store_true", default=False,
@@ -145,10 +152,13 @@ def make_parser() -> argparse.ArgumentParser:
                       help="Window size (bp) for circos plot")
     gcir.add_argument("-disable_blocks", action="store_true", default=False,
                       help="Disable homologous block links")
-    gcir.add_argument("-aligner", metavar="PROG", default="minimap2",
+    gcir.add_argument("-aligner", metavar="PROG", default="native",
                       choices=["minimap2", "unimap", "native"],
-                      help="Program to identify homologous blocks")
-    gcir.add_argument("-aligner_options", metavar="STR", default="-x asm20 -n 10")
+                      help="Program to identify homologous blocks "
+                      "[default=%(default)s; external aligners are not "
+                      "bundled and error loudly]")
+    gcir.add_argument("-aligner_options", metavar="STR", default="-x asm20 -n 10",
+                      help="(compat) ignored by the native aligner")
     gcir.add_argument("-min_block", type=int, default=100000, metavar="INT",
                       help="Minimum block size (bp) to show")
     gcir.add_argument("-alt_cfgs", nargs="+", metavar="CFGFILE", default=None,

@@ -43,6 +43,21 @@ class PackedChromosome:
     def from_str(cls, name: str, seq: str) -> "PackedChromosome":
         return cls.from_bytes(name, np.frombuffer(seq.encode(), dtype=np.uint8))
 
+    def signature(self) -> str:
+        """Fast content fingerprint for checkpoint keys: length + a strided
+        sample of packed words. Lets per-chromosome spectra survive changes
+        to the TARGET SET (the reference's -re_filter workflow,
+        __main__.py:100-102, 352-354) while still invalidating when the
+        underlying sequence differs."""
+        import hashlib
+
+        step = max(1, self.packed.shape[0] // 4096)
+        sample = np.ascontiguousarray(self.packed[::step])
+        h = hashlib.sha256()
+        h.update(str(self.length).encode())
+        h.update(sample.tobytes())
+        return h.hexdigest()[:16]
+
     def to_seq(self) -> str:
         """Reconstruct the sequence (ambiguous bases come back as 'N')."""
         from subphaser_tpu.io.encoding import unpack_words
@@ -106,6 +121,7 @@ class PackedGenome:
         targets: dict[str, str] | None = None,
         chr_mark: str | None = None,
         min_size: int | None = None,
+        workers: int | None = None,
     ) -> tuple["PackedGenome", dict[str, str]]:
         """Load (a subset of) chromosomes, mirroring the reference's
         split_genomes selection/renaming semantics (reference Seqs.py:27-71):
@@ -115,33 +131,57 @@ class PackedGenome:
           when given, only matching sequences are kept, renamed
         - without targets, every sequence (optionally filtered by regex
           ``chr_mark`` / ``min_size``) is kept
+        - ``workers``: host threads for 2-bit packing (numpy releases the
+          GIL, so packing overlaps parsing/decompression; the reference's
+          pool-parallel split is RunCmdsMP-driven, Seqs.py:121-139)
 
         Returns (genome, got) where got maps original target key -> new id.
         """
+        import concurrent.futures as cf
+
         if prefixes is None:
             prefixes = [""] * len(genome_files)
         g = cls()
         got: dict[str, str] = {}
-        for path, prefix in zip(genome_files, prefixes):
-            for rid, _desc, seq in iter_fasta(path):
-                old_id, pref_id = rid, f"{prefix}{rid}"
-                if targets:
-                    if pref_id in targets:
-                        key = pref_id
-                    elif old_id in targets:
-                        key = old_id
+
+        def selected():
+            for path, prefix in zip(genome_files, prefixes):
+                for rid, _desc, seq in iter_fasta(path):
+                    old_id, pref_id = rid, f"{prefix}{rid}"
+                    if targets:
+                        if pref_id in targets:
+                            key = pref_id
+                        elif old_id in targets:
+                            key = old_id
+                        else:
+                            continue
+                        new_id = targets[key]
+                        got[key] = new_id
                     else:
-                        continue
-                    new_id = targets[key]
-                    got[key] = new_id
-                else:
-                    if chr_mark and not re.search(chr_mark, rid, re.I):
-                        continue
-                    if min_size and seq.shape[0] < min_size:
-                        continue
-                    new_id = pref_id
-                    got[new_id] = new_id
+                        if chr_mark and not re.search(chr_mark, rid, re.I):
+                            continue
+                        if min_size and seq.shape[0] < min_size:
+                            continue
+                        new_id = pref_id
+                        got[new_id] = new_id
+                    yield new_id, seq
+
+        if workers is None:
+            workers = min(os.cpu_count() or 1, 8)
+        if workers <= 1:
+            for new_id, seq in selected():
                 g.chroms.append(PackedChromosome.from_bytes(new_id, seq))
+            return g, got
+        # bounded pipeline: keep at most 2*workers raw sequences in flight so
+        # peak host memory stays ~O(workers * chrom), not O(genome)
+        pending: list = []
+        with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+            for new_id, seq in selected():
+                pending.append(ex.submit(PackedChromosome.from_bytes, new_id, seq))
+                while len(pending) > 2 * workers:
+                    g.chroms.append(pending.pop(0).result())
+            for fut in pending:
+                g.chroms.append(fut.result())
         return g, got
 
     @classmethod

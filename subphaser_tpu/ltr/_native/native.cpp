@@ -43,7 +43,7 @@ static double banded_identity(const uint8_t* a, int la, const uint8_t* b,
   for (int w = band + 1; w < W; ++w) {  // first row: gaps in b
     int j = w - band;
     if (j > lb) break;
-    score[w] = -2 * j;
+    score[w] = -4 * j;  // boundary gaps cost the same as interior gaps
     cols[w] = j;
   }
   for (int i = 1; i <= la; ++i) {
@@ -53,7 +53,7 @@ static double banded_identity(const uint8_t* a, int la, const uint8_t* b,
       if (j < 0 || j > lb) continue;
       int best = NEG, bm = 0, bc = 0;
       if (j == 0) {
-        best = -2 * i; bm = 0; bc = i;
+        best = -4 * i; bm = 0; bc = i;  // boundary gap, same penalty as interior
       } else {
         // diagonal (i-1, j-1) -> same w
         if (score[w] > NEG) {

@@ -111,6 +111,70 @@ def fold_votes(
     return (votes.astype(jnp.float32) / n_valid.astype(jnp.float32)) >= ratio
 
 
+def validate_baseline(spec: GroupSpec, baseline: int) -> None:
+    """Reject -baseline values that fall outside every set's column range.
+
+    The reference indexes ``freqs[baseline]`` on the per-set descending
+    frequency list (Jellyfish.py:639-640) and raises IndexError for
+    out-of-range values; the device kernel's clip would instead silently
+    mis-filter, so the pipeline validates up front.
+    """
+    ncols = spec.set_ncols[spec.set_valid]
+    if ncols.size == 0:
+        return
+    w = int(ncols.min())
+    if baseline >= w or baseline < -w:
+        raise ValueError(
+            f"-baseline {baseline} is out of range for homoeologous sets with "
+            f"as few as {w} column groups (valid: -{w}..{w - 1})"
+        )
+
+
+def fold_votes_host(
+    counts: np.ndarray,
+    lengths: np.ndarray,
+    spec: GroupSpec,
+    *,
+    min_fold: float,
+    ratio: float,
+    baseline: int = 1,
+    by_count: bool = False,
+) -> np.ndarray:
+    """Exact-parity float64 fold-change gate (host) -> bool (B,) mask.
+
+    Reproduces the reference worker arithmetic (Jellyfish.py:611-648):
+    group frequency = sum(count)/sum(length) in float64, descending sort,
+    vote iff top/(freqs[baseline] + 1e-20) >= min_fold, keep iff the voting
+    fraction of non-singleton sets >= ratio. The device float32 version
+    (fold_votes) serves fused on-device steps; file-output decisions run
+    here per the exact-parity rule.
+    """
+    validate_baseline(spec, baseline)
+    counts = np.asarray(counts, dtype=np.float64)
+    member = spec.member.astype(np.float64)
+    gcount = counts @ member.T                       # (B, G)
+    if by_count:
+        gfreq = gcount
+    else:
+        glen = member @ np.asarray(lengths, dtype=np.float64)
+        gfreq = gcount / glen
+    pad = spec.set_groups < 0
+    gathered = np.where(
+        pad[None, :, :], -np.inf, gfreq[:, np.clip(spec.set_groups, 0, None)]
+    )                                                # (B, S, W)
+    desc = -np.sort(-gathered, axis=-1, kind="stable")
+    top = desc[..., 0]
+    if baseline < 0:
+        bidx = spec.set_ncols + baseline
+    else:
+        bidx = np.full_like(spec.set_ncols, baseline)
+    bidx = np.clip(bidx, 0, spec.set_groups.shape[1] - 1)
+    base = np.take_along_axis(desc, bidx[None, :, None], axis=-1)[..., 0]
+    include = (top / (base + 1e-20)) >= min_fold     # (B, S)
+    votes = (include & spec.set_valid[None, :]).sum(axis=1)
+    return votes / max(spec.n_valid_sets, 1) >= ratio
+
+
 def differential_filter(
     counts,
     lengths,

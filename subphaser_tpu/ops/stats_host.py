@@ -49,8 +49,11 @@ def fisher_enrich_pvals(counts: np.ndarray) -> np.ndarray:
     grand = total.sum()
     x11 = counts
     x12 = rowsum - x11
-    x21 = np.minimum(total[None, :] - x11, MAX_INT)
-    x22 = np.minimum(grand - x21 - x12, MAX_INT)
+    # clamp order matters: the reference derives x22 from the UNclamped x21
+    # and only then clamps both (Stats.py:24-25)
+    x21u = total[None, :] - x11
+    x22 = np.minimum(grand - x21u - x12, MAX_INT)
+    x21 = np.minimum(x21u, MAX_INT)
     return fisher_right_tail(x11, x12, x21, x22)
 
 

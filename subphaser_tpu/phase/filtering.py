@@ -13,7 +13,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from subphaser_tpu.ops.filter import GroupSpec, fold_votes
+from subphaser_tpu.ops.filter import GroupSpec, fold_votes_host, validate_baseline
 from subphaser_tpu.phase.spectrum import ChromSpectrum, KmerMatrix
 from subphaser_tpu.ops.count import merge_host
 from subphaser_tpu.utils.log import logger
@@ -64,25 +64,22 @@ def streaming_filter(
         window = (tot >= min_freq) & (tot <= max_freq)
         all_codes, tot = all_codes[window], tot[window]
 
-    lengths_f = lengths.astype(np.float32)
+    validate_baseline(spec, baseline)
     diff_codes, diff_counts, diff_tots, fold_tots = [], [], [], []
     for lo in range(0, all_codes.size, chunk):
         cand = all_codes[lo : lo + chunk]
         ctot = tot[lo : lo + chunk]
         counts = chunk_counts(spectra, cand)
-        fmask = np.asarray(
-            fold_votes(
-                counts,
-                lengths_f,
-                spec.member,
-                spec.set_groups,
-                spec.set_ncols,
-                spec.set_valid,
-                min_fold=min_fold,
-                ratio=ratio,
-                baseline=baseline,
-                by_count=by_count,
-            )
+        # exact-parity gate: float64 on host (counts are host-resident here;
+        # this also skips a ~128 MB/chunk upload through the device tunnel)
+        fmask = fold_votes_host(
+            counts,
+            lengths,
+            spec,
+            min_fold=min_fold,
+            ratio=ratio,
+            baseline=baseline,
+            by_count=by_count,
         )
         window = (ctot >= min_freq) & (ctot <= max_freq)
         dmask = fmask & window

@@ -53,7 +53,7 @@ class Pipeline:
             min_block=100000, alt_cfgs=None, chr_ordered=None,
             cleanup=False, overwrite=False, heatmap_colors=("green", "black", "red"),
             tile_bases=DEFAULT_TILE_BASES, seed=0, low_mem=None, ncpu=None,
-            max_memory=None, aligner="minimap2", aligner_options="-x asm20 -n 10",
+            max_memory=None, aligner="native", aligner_options="-x asm20 -n 10",
             ltr_harvest_options=None, ltr_finder_options=None,
             tesorter_options=None, trimal_options=None, tree_options=None,
             ggtree_options=None, heatmap_options=None, trace=None,
@@ -86,6 +86,40 @@ class Pipeline:
         if not self.nsg or self.nsg < 2:
             self.nsg = _nsg
         self.sg_color = SGColors(self.colors)
+
+        if self.aligner in ("minimap2", "unimap"):
+            # reference shells out to minimap2/unimap (__main__.py:699-713);
+            # this framework ships its own anchor-chain aligner and bundles
+            # no external binaries — fail loudly instead of silently
+            # substituting (flag default is "native")
+            raise ValueError(
+                f"-aligner {self.aligner}: external aligners are not bundled "
+                "in subphaser_tpu; use -aligner native (anchor-chain aligner "
+                "with PAF output)"
+            )
+        self._warn_compat_flags()
+
+    _COMPAT_FLAG_DEFAULTS = {
+        # accepted for reference CLI compatibility; their backends
+        # (R heatmap.2, external TEsorter/trimal/FastTree/ggtree pipelines)
+        # are replaced by native implementations with no option passthrough
+        "aligner_options": "-x asm20 -n 10",
+        "tesorter_options": "-db rexdb -dp2",
+        "trimal_options": "-automated1",
+        "tree_options": "",
+        "ggtree_options": "branch.length='none', layout='circular'",
+        "heatmap_options": None,
+    }
+
+    def _warn_compat_flags(self):
+        for flag, default in self._COMPAT_FLAG_DEFAULTS.items():
+            val = getattr(self, flag, None)
+            if val not in (None, default):
+                logger.warning(
+                    "-%s is accepted for reference CLI compatibility but has "
+                    "no effect: the native backend takes no option "
+                    "passthrough (value %r ignored)", flag, val,
+                )
 
     # ------------------------------------------------------------------
     def run(self):
@@ -132,6 +166,13 @@ class Pipeline:
         # through the tunnel, so budgets must stay large enough that only
         # chromosomes beyond ~budget bases ever spill.
         device_budget = 1 << 28
+        max_mem_bytes = _parse_mem(self.max_memory)
+        if max_mem_bytes and self.low_mem is None and genome_size * 3 > max_mem_bytes:
+            logger.info(
+                "-max_memory %s < ~3x genome size; enabling low-memory mode",
+                self.max_memory,
+            )
+            self.low_mem = True
         if self.low_mem or (self.low_mem is None and genome_size > 3e9):
             # reference auto-switches low-memory mode above 3 Gb
             # (__main__.py:395-398): smaller tiles + merge budget
@@ -139,6 +180,14 @@ class Pipeline:
             device_budget = 1 << 27
             logger.info("Low-memory mode: tile=%d, device_budget=%d",
                         self.tile_bases, device_budget)
+        if max_mem_bytes:
+            # cap the device merge budget so a worst-case host spill
+            # (codes int32 + counts int64 per entry) fits the memory bound
+            cap = max(1 << 22, int(max_mem_bytes // 24))
+            if cap < device_budget:
+                device_budget = cap
+                logger.info("-max_memory %s: device_budget=%d entries",
+                            self.max_memory, device_budget)
 
         logger.info("###Step: Kmer Count")
         # batching tiles per device call costs one big extra compile
@@ -281,7 +330,7 @@ class Pipeline:
             logger.info("Loaded packed genome checkpoint (%d chromosomes)", len(genome))
         else:
             genome, got = PackedGenome.from_fasta_files(
-                self.genomes, self.labels, self.targets
+                self.genomes, self.labels, self.targets, workers=self.ncpu
             )
             missing = set(self.targets) - set(got)
             if missing:
@@ -581,6 +630,30 @@ def _check_duplicates(lst):
     dup = {v: c for v, c in Counter(lst).items() if c > 1}
     if dup:
         raise ValueError(f"Duplicates detected: {dup}")
+
+
+def _parse_mem(spec) -> int | None:
+    """'32G' / '512M' / '2000000000' -> bytes (None when unset).
+
+    Mirrors the reference's jellyfish-style memory strings (-max_memory,
+    __main__.py:232-233 passing through to jellyfish/sort)."""
+    if spec is None:
+        return None
+    if isinstance(spec, (int, float)):
+        return int(spec)
+    s = str(spec).strip().upper()
+    mult = 1
+    for suffix, m in (("TB", 1 << 40), ("T", 1 << 40), ("GB", 1 << 30),
+                      ("G", 1 << 30), ("MB", 1 << 20), ("M", 1 << 20),
+                      ("KB", 1 << 10), ("K", 1 << 10), ("B", 1)):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)]
+            mult = m
+            break
+    try:
+        return int(float(s) * mult)
+    except ValueError:
+        raise ValueError(f"Cannot parse -max_memory value {spec!r}") from None
 
 
 def _num(x: float):

@@ -50,9 +50,18 @@ def count_genome(
     """
     spectra: list[ChromSpectrum] = []
     n_pos_words = tile_bases // 16
-    params = {"k": k, "lower_count": lower_count, "genome": genome_id}
     meter = Throughput("kmer counting", unit="Mbp")
     for ci, chrom in enumerate(genome.chroms):
+        # keyed on the chromosome CONTENT (not the run's target set) so
+        # re-running with a chromosome subset reuses every unchanged
+        # spectrum — the reference's -re_filter workflow, where jellyfish
+        # counts survive and only downstream steps recompute
+        # (reference __main__.py:352-354, 415)
+        params = {
+            "k": k,
+            "lower_count": lower_count,
+            "chrom_sig": chrom.signature(),
+        }
         ckp_name = f"spectrum.{chrom.name}"
         if checkpoint is not None and checkpoint.has(ckp_name, params):
             payload = checkpoint.load(ckp_name)

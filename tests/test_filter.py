@@ -52,3 +52,42 @@ def test_filter_matches_oracle(baseline, by_count):
 def test_all_singletons_raises():
     with pytest.raises(ValueError):
         make_group_spec([[[0]], [[1]]], 2)
+
+
+@pytest.mark.parametrize("baseline", [1, -1])
+@pytest.mark.parametrize("by_count", [False, True])
+def test_host_gate_matches_oracle(baseline, by_count):
+    """fold_votes_host (the exact-parity float64 file-output gate)."""
+    from subphaser_tpu.ops.filter import fold_votes_host
+
+    rng = np.random.default_rng(1)
+    counts, lengths = random_case(rng)
+    sg_indices = [[[0], [3]], [[1, 2], [4]], [[5]]]
+    spec = make_group_spec(sg_indices, 6)
+    mask = fold_votes_host(
+        counts, lengths, spec,
+        min_fold=1.4, ratio=0.5, baseline=baseline, by_count=by_count,
+    )
+    for i in range(counts.shape[0]):
+        _, efold, _ = filter_kmer(
+            counts[i].tolist(), lengths.tolist(), sg_indices,
+            min_freq=0, max_freq=1 << 40, min_fold=1.4, ratio=0.5,
+            baseline=baseline, by_count=by_count,
+        )
+        assert mask[i] == efold, f"row {i}"
+
+
+def test_baseline_out_of_range_raises():
+    from subphaser_tpu.ops.filter import fold_votes_host, validate_baseline
+
+    spec = make_group_spec([[[0], [1]], [[2], [3], [4]]], 5)
+    validate_baseline(spec, 1)
+    validate_baseline(spec, -2)
+    for bad in (2, 3, -3, 5):
+        with pytest.raises(ValueError, match="baseline"):
+            validate_baseline(spec, bad)
+    with pytest.raises(ValueError, match="baseline"):
+        fold_votes_host(
+            np.ones((4, 5), np.int32), np.ones(5), spec,
+            min_fold=2.0, ratio=0.5, baseline=2,
+        )

@@ -118,3 +118,78 @@ def test_k17_custom_features(base, tmp_path):
     ])
     enrich = next((tmp_path / "out").glob("*.custom.enrich")).read_text().splitlines()
     assert len(enrich) > 2
+
+
+def test_parse_mem():
+    from subphaser_tpu.phase.pipeline import _parse_mem
+
+    assert _parse_mem(None) is None
+    assert _parse_mem("32G") == 32 << 30
+    assert _parse_mem("1.5gb") == int(1.5 * (1 << 30))
+    assert _parse_mem("512M") == 512 << 20
+    assert _parse_mem("2000000") == 2000000
+    assert _parse_mem(123) == 123
+    with pytest.raises(ValueError, match="max_memory"):
+        _parse_mem("lots")
+
+
+def test_external_aligner_errors(base, tmp_path):
+    from subphaser_tpu.phase.pipeline import Pipeline
+
+    with pytest.raises(ValueError, match="minimap2"):
+        Pipeline(
+            [str(base / "genome.fa.gz")], [str(base / "sg.config")],
+            outdir=str(tmp_path / "out"), tmpdir=str(tmp_path / "tmp"),
+            aligner="minimap2",
+        )
+
+
+def test_compat_flags_warn(base, tmp_path, caplog):
+    import logging
+
+    from subphaser_tpu.phase.pipeline import Pipeline
+
+    with caplog.at_level(logging.WARNING, logger="subphaser_tpu"):
+        Pipeline(
+            [str(base / "genome.fa.gz")], [str(base / "sg.config")],
+            outdir=str(tmp_path / "out"), tmpdir=str(tmp_path / "tmp"),
+            trimal_options="-gt 0.9",
+        )
+    assert any("trimal_options" in r.message for r in caplog.records)
+
+
+def test_max_memory_low_mem_and_ncpu(base, tmp_path, caplog):
+    """-max_memory smaller than the genome triggers low-memory mode; -ncpu
+    drives parallel packing (same outputs as serial)."""
+    import logging
+
+    run_cli([
+        "-i", base / "genome.fa.gz", "-c", base / "sg.config",
+        "-o", tmp_path / "out", "-tmpdir", tmp_path / "tmp",
+        "-q", "40", "-replicates", "10", "-tile_bases", 1 << 16,
+        "-max_memory", "64K", "-p", "4", "-just_core", "-figfmt", "png",
+    ])
+    assert (tmp_path / "out").exists()
+    mats = list((tmp_path / "out").glob("*.kmer.mat"))
+    assert len(mats) == 1
+
+
+def test_re_filter_subset_reuses_spectra(base, tmp_path, caplog):
+    """Counts survive a target-set change (-re_filter workflow): rerunning
+    with a chromosome subset must LOAD spectrum checkpoints, not recount."""
+    import logging
+
+    common = [
+        "-i", base / "genome.fa.gz", "-c", base / "sg.config",
+        "-o", tmp_path / "out", "-tmpdir", tmp_path / "tmp",
+        "-q", "40", "-replicates", "10", "-tile_bases", 1 << 16,
+        "-just_core", "-figfmt", "png",
+    ]
+    run_cli(common)
+    # subset: drop chromosome B2 via a -target mapping of the other three
+    tfile = tmp_path / "targets.txt"
+    tfile.write_text("CMA1.1\tA1\nCMB1.1\tB1\nCMA2.1\tA2\n")
+    with caplog.at_level(logging.INFO, logger="subphaser_tpu"):
+        run_cli(common + ["-target", tfile, "-re_filter"])
+    loads = [r for r in caplog.records if "Loaded spectrum checkpoint" in r.message]
+    assert len(loads) >= 3, "expected per-chromosome spectra to be reused"

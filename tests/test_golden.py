@@ -34,7 +34,9 @@ def test_golden_assignments(run):
     assert dict(pipe.d_sg) == {
         "A1": "SG1", "B1": "SG2", "A2": "SG1", "B2": "SG2",
     }
-    assert all(v == 100 for v in pipe.d_bs_values()) if hasattr(pipe, "d_bs_values") else True
+    bs = pipe.cluster.d_bs
+    assert set(bs) == {"A1", "B1", "A2", "B2"}
+    assert all(v == 100 for v in bs.values()), bs
     assert pipe.cluster.mean_ari == 1.0
     assert pipe.cluster.mean_vm == 1.0
 
