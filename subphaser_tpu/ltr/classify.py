@@ -382,6 +382,89 @@ def classify_elements(
     return out
 
 
+def classify_pass2(
+    elements: list[tuple[str, str]],
+    d_class: dict[str, Classification],
+    min_identity: float = 0.80,
+    min_length: int = 80,
+    sketch_k: int = 13,
+    sketch_s: int = 512,
+) -> dict[str, Classification]:
+    """Pass-2: transfer classifications to unclassified elements by sequence
+    similarity against the classified ones.
+
+    Replaces the reference's blast of unclassified-vs-classified elements
+    (reference api/TEsorter/app.py:417-432: best hit with pident>=80,
+    qcovs>=80, length>=80) with MinHash sketches: candidate pairs share at
+    least one of each element's 8 smallest hashes (LSH prefilter), then the
+    bottom-s Mash identity estimate gates the transfer at ``min_identity``.
+    Returns the updated ``d_class`` (order/superfamily/clade copied from the
+    best hit; completeness/domains are NOT transferred — only pass-1 proves
+    domains).
+    """
+    from subphaser_tpu.ltr.tree import _sketch
+
+    classified = [
+        (eid, seq) for eid, seq in elements
+        if d_class.get(eid) is not None and d_class[eid].order is not None
+    ]
+    unclassified = [
+        (eid, seq) for eid, seq in elements
+        if len(seq) >= min_length
+        and (d_class.get(eid) is None or d_class[eid].order is None)
+    ]
+    if not classified or not unclassified:
+        return d_class
+
+    c_sk = {eid: _sketch(seq, k=sketch_k, s=sketch_s) for eid, seq in classified}
+    # LSH buckets on the 8 smallest hashes of each classified element
+    buckets: dict[int, list[str]] = {}
+    for eid, sk in c_sk.items():
+        for h in sk[:8]:
+            buckets.setdefault(int(h), []).append(eid)
+
+    n_transfer = 0
+    for eid, seq in unclassified:
+        sk = _sketch(seq, k=sketch_k, s=sketch_s)
+        if sk.size == 0:
+            continue
+        cand: set[str] = set()
+        for h in sk[:8]:
+            cand.update(buckets.get(int(h), ()))
+        best_id, best_ident = None, 0.0
+        for cid in cand:
+            csk = c_sk[cid]
+            # bottom-s Jaccard on the union's s smallest hashes (Mash)
+            s = min(sk.size, csk.size, sketch_s)
+            merged = np.union1d(sk, csk)[:s]
+            inter = np.intersect1d(sk[:s], csk[:s], assume_unique=True)
+            shared = np.isin(merged, inter, assume_unique=True).sum()
+            j = shared / max(s, 1)
+            if j <= 0:
+                continue
+            # Mash distance -> identity estimate
+            ident = 1.0 + np.log(2.0 * j / (1.0 + j)) / sketch_k
+            if ident > best_ident:
+                best_ident, best_id = float(ident), cid
+        if best_id is not None and best_ident >= min_identity:
+            src = d_class[best_id]
+            d_class[eid] = Classification(
+                id=eid, order=src.order, superfamily=src.superfamily,
+                clade=src.clade, completed="no", strand="?",
+                domains=None, score=0.0,
+            )
+            n_transfer += 1
+    if n_transfer:
+        from subphaser_tpu.utils.log import logger
+
+        logger.info(
+            "Pass-2: transferred classifications to %d of %d unclassified "
+            "elements by sketch similarity (>= %.0f%% identity)",
+            n_transfer, len(unclassified), 100 * min_identity,
+        )
+    return d_class
+
+
 def write_cls_tsv(d_class: dict[str, Classification], fout) -> None:
     """TEsorter-compatible .cls.tsv (reference app.py writes the same columns)."""
     fout.write("#TE\tOrder\tSuperfamily\tClade\tComplete\tStrand\tDomains\n")

@@ -84,14 +84,18 @@ def seed_pairs(
     n_pos_words: int,
     mindist: int,
     maxdist: int,
-    max_shift: int = 16,
+    max_shift: int = 32,
     cap: int = 1 << 18,
 ):
     """Direct-repeat seed pairs (i, j) with j - i in [mindist, maxdist].
 
     Sorts forward-strand codes (direct repeats match on the same strand)
     carrying positions; pairs each element with its next ``max_shift``
-    run-mates. Returns (i, j) int32 arrays of length cap, padded with -1.
+    run-mates. Sorting on (code, position) — two keys — makes run-mates
+    positionally ordered, so shift s reaches the s-th NEAREST downstream
+    copy: a high-copy repeat family only loses an element's LTR pair when
+    more than ``max_shift`` same-code copies sit between its two LTRs
+    (< maxdist apart). Returns (i, j) int32 arrays of length cap, -1 padded.
     """
     codes = forward_codes(words, vwords, k, n_pos_words)  # (16, W)
     p = jax.lax.broadcasted_iota(jnp.int32, codes.shape, 0)
@@ -99,7 +103,7 @@ def seed_pairs(
     pos = w * 16 + p
     flat = codes.reshape(-1)
     posf = pos.reshape(-1)
-    sc, sp = jax.lax.sort((flat, posf), num_keys=1)
+    sc, sp = jax.lax.sort((flat, posf), num_keys=2)
     n = sc.shape[0]
 
     masks = []

@@ -133,6 +133,10 @@ class LTRPipeline:
             (ltr.id, ltr.get_int_seq(d_seqs[ltr.seq_id])) for ltr in ltrs
         ]
         d_class = clsmod.classify_elements(elements, self.hmm_db)
+        # pass-2: rescue unclassified elements by similarity to classified
+        # ones (reference app.py:417-432 blast equivalent)
+        full = [(ltr.id, ltr.get_full_seq(d_seqs[ltr.seq_id])) for ltr in ltrs]
+        d_class = clsmod.classify_pass2(full, d_class)
         cls_file = self.int_seqs + ".cls.tsv"
         with open(cls_file, "w") as f:
             clsmod.write_cls_tsv(d_class, f)

@@ -80,23 +80,41 @@ def plot_heatmap(
     std = data.std(axis=0, ddof=1, keepdims=True)
     z = (data - mean) / np.where(std > 0, std, 1.0)
 
-    # order rows by hierarchical clustering (heatmap.2 Rowv=T analogue)
-    from scipy.cluster.hierarchy import leaves_list, linkage
+    # cluster BOTH axes with complete-linkage euclidean (the defaults of the
+    # reference's heatmap.2 call, Jellyfish.py:524-609: Rowv/Colv dendrograms
+    # with RowSideColors/ColSideColors)
+    from scipy.cluster.hierarchy import dendrogram, leaves_list, linkage
 
-    row_order = (
-        leaves_list(linkage(z, method="average")) if z.shape[0] > 2 else np.arange(z.shape[0])
-    )
-    # order columns by assigned SG then by mean position of max
-    col_order = np.argsort(kmer_sg, kind="stable")
+    row_link = linkage(z, method="complete") if z.shape[0] > 2 else None
+    row_order = leaves_list(row_link) if row_link is not None else np.arange(z.shape[0])
+    col_link = None
+    if 2 < z.shape[1] <= 20000:
+        col_link = linkage(z.T.astype(np.float32), method="complete")
+        col_order = leaves_list(col_link)
+    else:  # too many columns to cluster: group by assigned SG
+        col_order = np.argsort(kmer_sg, kind="stable")
     z = z[np.ix_(row_order, col_order)]
     ksg = kmer_sg[col_order]
     chrs_o = [chrs[i] for i in row_order]
 
-    fig = plt.figure(figsize=(10, 6), dpi=200)
+    fig = plt.figure(figsize=(10, 6.6), dpi=200)
     gs = fig.add_gridspec(
-        2, 2, width_ratios=[0.02, 1], height_ratios=[0.04, 1], wspace=0.01, hspace=0.01
+        3, 3, width_ratios=[0.12, 0.02, 1], height_ratios=[0.12, 0.04, 1],
+        wspace=0.01, hspace=0.01,
     )
-    ax = fig.add_subplot(gs[1, 1])
+    # dendrogram panels (leaves match the heatmap ordering)
+    if row_link is not None:
+        axrd = fig.add_subplot(gs[2, 0])
+        dendrogram(row_link, ax=axrd, orientation="left", no_labels=True,
+                   color_threshold=0, above_threshold_color="#444444")
+        axrd.invert_yaxis()  # match imshow's top-to-bottom row order
+        axrd.axis("off")
+    if col_link is not None:
+        axcd = fig.add_subplot(gs[0, 2])
+        dendrogram(col_link, ax=axcd, orientation="top", no_labels=True,
+                   color_threshold=0, above_threshold_color="#444444")
+        axcd.axis("off")
+    ax = fig.add_subplot(gs[2, 2])
     vmax = np.nanpercentile(np.abs(z), 99) or 1.0
     ax.imshow(z, aspect="auto", cmap="RdYlGn_r", vmin=-vmax, vmax=vmax,
               interpolation="nearest")
@@ -109,7 +127,7 @@ def plot_heatmap(
     from matplotlib.colors import ListedColormap
 
     # row side colors: chromosome SG
-    axr = fig.add_subplot(gs[1, 0], sharey=ax)
+    axr = fig.add_subplot(gs[2, 1], sharey=ax)
     row_colors = [d_colors[d_sg[c]] for c in chrs_o]
     axr.imshow(
         np.arange(len(row_colors)).reshape(-1, 1),
@@ -119,7 +137,7 @@ def plot_heatmap(
     axr.set_yticks([])
 
     # column side colors: k-mer SG (grey when unassigned)
-    axc = fig.add_subplot(gs[0, 1], sharex=ax)
+    axc = fig.add_subplot(gs[1, 2], sharex=ax)
     col_palette = ["#dddddd"] + [d_colors[s] for s in sg_names]
     axc.imshow(
         (ksg + 1).reshape(1, -1),

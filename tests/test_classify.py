@@ -131,3 +131,43 @@ def test_classify_no_hit(hmm_db):
     junk = "".join(rng.choice(list("ACGT"), size=600))
     d = classify_elements([("el3", junk)], path)
     assert d["el3"].order is None
+
+
+def test_pass2_transfer():
+    """Sketch-similarity pass-2 transfers classifications to unclassified
+    elements that resemble classified ones (reference app.py:417-432)."""
+    import numpy as np
+
+    from subphaser_tpu.ltr.classify import Classification, classify_pass2
+
+    rng = np.random.default_rng(7)
+    bases = "ACGT"
+
+    def rand_seq(n):
+        return "".join(rng.choice(list(bases), size=n))
+
+    def mutate(s, rate):
+        out = []
+        for ch in s:
+            if rng.random() < rate:
+                out.append(rng.choice([c for c in bases if c != ch]))
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    a = rand_seq(3000)
+    b = mutate(a, 0.03)       # ~97% identical to a -> should transfer
+    c = rand_seq(3000)        # unrelated -> should stay unclassified
+    elements = [("A", a), ("B", b), ("C", c)]
+    d_class = {
+        "A": Classification(id="A", order="LTR", superfamily="Copia",
+                            clade="Ale", completed="yes", strand="+"),
+        "B": Classification(id="B"),
+        "C": Classification(id="C"),
+    }
+    out = classify_pass2(elements, d_class)
+    assert out["B"].order == "LTR"
+    assert out["B"].superfamily == "Copia"
+    assert out["B"].clade == "Ale"
+    assert out["B"].completed == "no"
+    assert out["C"].order is None

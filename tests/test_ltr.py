@@ -82,6 +82,34 @@ def test_detect_across_tile_boundary():
     assert len(hits) == 1, "element found twice (overlap dedupe failed)"
 
 
+def test_detect_high_copy_family():
+    """An element whose LTR k-mers are shared by >16 other family copies in
+    the tile must still be detected. Regression for seed-pair shift capping:
+    seed_pairs sorts on (code, position) — with an UNSTABLE tie order the
+    element's own two LTRs can sit more than max_shift run-mates apart and
+    the pair is lost."""
+    rng = np.random.default_rng(3)
+    fam_ltr = random_seq(rng, 400)
+    tsd = random_seq(rng, 5)
+    internal = random_seq(rng, 3000)
+    element = tsd + fam_ltr + internal + _mutate(rng, fam_ltr, 0.02) + tsd
+    parts = [random_seq(rng, 2000)]
+    # 24 solo copies, spaced > maxdistltr so solo-solo pairs are invalid
+    for _ in range(24):
+        parts.append(fam_ltr)
+        parts.append(random_seq(rng, 15100))
+    pos = sum(len(p) for p in parts)
+    parts.append(element)
+    parts.append(random_seq(rng, 16000))
+    seq = "".join(parts)
+    g = PackedGenome.from_dict({"c1": seq})
+    recs = detect_ltr(g, tile_bases=1 << 19)
+    es = pos + 5
+    ee = es + 400 + 3000 + 400
+    hits = [r for r in recs if abs(r.start - 1 - es) <= 30 and abs(r.end - ee) <= 30]
+    assert hits, f"high-copy-family element at {es}-{ee} not found"
+
+
 def test_scn_roundtrip_and_record_model():
     r = LTRRecord(seq_id="chr1", start=1001, end=5000, lltr=400, rltr=395,
                   similarity=92.5, seq_nr=0)
