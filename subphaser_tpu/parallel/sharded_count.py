@@ -113,7 +113,8 @@ def sharded_spectrum(
     """Count one chromosome's tiles across the mesh -> host (codes, counts).
 
     ``tiles``: list of Tile objects. Pads the tile list to a multiple of the
-    mesh size with empty tiles.
+    mesh size with empty tiles. On (improbable) range-quota overflow the
+    exchange retries with doubled slack.
     """
     n_dev = mesh.shape["data"]
     words = np.stack([t.words for t in tiles])
@@ -125,17 +126,20 @@ def sharded_spectrum(
             [vwords, np.zeros((pad,) + vwords.shape[1:], vwords.dtype)]
         )
     tiles_per_dev = words.shape[0] // n_dev
-    step = build_sharded_count(
-        mesh, k=k, n_pos_words=n_pos_words, tiles_per_dev=tiles_per_dev
-    )
     words_d = jax.device_put(words, NamedSharding(mesh, P("data", None)))
     vwords_d = jax.device_put(vwords, NamedSharding(mesh, P("data", None)))
-    codes, counts, overflow = step(words_d, vwords_d)
-    if bool(overflow):
-        raise RuntimeError(
-            "sharded_spectrum quota overflow (heavily skewed k-mer ranges); "
-            "retry with larger slack"
+    slack = 2.0
+    while True:
+        step = build_sharded_count(
+            mesh, k=k, n_pos_words=n_pos_words, tiles_per_dev=tiles_per_dev,
+            slack=slack,
         )
+        codes, counts, overflow = step(words_d, vwords_d)
+        if not bool(overflow):
+            break
+        if slack >= float(n_dev):  # quota == full local spectrum: cannot overflow
+            raise RuntimeError("sharded_spectrum overflow at maximum slack")
+        slack = min(slack * 2.0, float(n_dev))
     codes = np.asarray(codes)
     counts = np.asarray(counts)
     m = codes != SENTINEL

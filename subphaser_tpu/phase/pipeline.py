@@ -57,6 +57,7 @@ class Pipeline:
             ltr_harvest_options=None, ltr_finder_options=None,
             tesorter_options=None, trimal_options=None, tree_options=None,
             ggtree_options=None, heatmap_options=None, trace=None,
+            n_devices=None,
         )
         defaults.update(kargs)
         self.__dict__.update(defaults)
@@ -189,6 +190,24 @@ class Pipeline:
                 logger.info("-max_memory %s: device_budget=%d entries",
                             self.max_memory, device_budget)
 
+        # multi-device: data-parallel 1-D mesh over every addressable chip
+        # (the reference's process/grid axis, RunCmdsMP.py:38-217, mapped to
+        # ICI collectives; host float64 decisions downstream are unchanged)
+        import jax as _jax
+
+        self.mesh = None
+        devs = _jax.devices()
+        want = self.n_devices if self.n_devices else len(devs)
+        if want > 1 and len(devs) > 1:
+            from jax.sharding import Mesh as _Mesh
+
+            devs = devs[: min(want, len(devs))]
+            self.mesh = _Mesh(np.array(devs), ("data",))
+            logger.info(
+                "Using %d devices (data-parallel mesh) for counting/mapping",
+                len(devs),
+            )
+
         logger.info("###Step: Kmer Count")
         # batching tiles per device call costs one big extra compile
         # (~minutes through the remote tunnel) but removes thousands of
@@ -198,7 +217,7 @@ class Pipeline:
             genome, self.k, lower_count=self.lower_count,
             tile_bases=self.tile_bases, device_budget=device_budget,
             batch_tiles=batch_tiles, checkpoint=self.ckp,
-            genome_id=self._genome_id,
+            genome_id=self._genome_id, mesh=self.mesh,
         )
 
         # differential filter
@@ -388,6 +407,19 @@ class Pipeline:
             from subphaser_tpu.ops.mapbins import map_tiles_batch
         tiles = list(self.genome.tiles(self.k, tile_bases=self.tile_bases))
         batch = 4 if self.genome.total_bases() > 1e9 else 1
+        mesh = getattr(self, "mesh", None)
+        if mesh is not None:
+            # data-shard the tile batch across the mesh; the membership
+            # table/codes stay replicated, so GSPMD partitions the batch
+            # axis with no collectives
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            n_dev = mesh.shape["data"]
+            batch = max(batch, n_dev)
+            batch -= batch % n_dev
+            shard_w = NamedSharding(mesh, P("data", None))
+            shard_s = NamedSharding(mesh, P("data"))
         for lo in range(0, len(tiles), batch):
             bt = tiles[lo : lo + batch]
             words = np.stack([t.words for t in bt])
@@ -398,6 +430,12 @@ class Pipeline:
                 words = np.concatenate([words, np.zeros((pad,) + words.shape[1:], words.dtype)])
                 vwords = np.concatenate([vwords, np.zeros((pad,) + vwords.shape[1:], vwords.dtype)])
                 starts = np.concatenate([starts, np.zeros(pad, np.int32)])
+            if mesh is not None:
+                import jax as _jax
+
+                words = _jax.device_put(words, shard_w)
+                vwords = _jax.device_put(vwords, shard_w)
+                starts = _jax.device_put(starts, shard_s)
             if use_dense:
                 if batch > 1:
                     w_in, v_in, s_in = words, vwords, starts

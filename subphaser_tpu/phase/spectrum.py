@@ -42,11 +42,19 @@ def count_genome(
     batch_tiles: int = 4,
     checkpoint=None,
     genome_id: str | None = None,
+    mesh=None,
 ) -> list[ChromSpectrum]:
     """Count canonical k-mers per chromosome on device.
 
     ``genome_id`` (e.g. an input-file digest) is folded into the checkpoint
     key so a changed genome invalidates cached spectra.
+
+    With ``mesh`` (a 1-D jax Mesh with a "data" axis spanning >1 device),
+    each chromosome's tiles are data-sharded and the spectrum is discovered
+    with the all_to_all range exchange (parallel/sharded_count) — the
+    device-native version of the reference's per-chromosome jellyfish
+    process pool (Jellyfish.py:671-676). The host-side result is identical
+    to the single-device path, so downstream files are byte-identical.
     """
     spectra: list[ChromSpectrum] = []
     n_pos_words = tile_bases // 16
@@ -78,6 +86,27 @@ def count_genome(
         meter.start()
         tiles = [t for t in genome.tiles(k, tile_bases=tile_bases) if t.chrom_index == ci]
         n_positions = len(tiles) * 16 * n_pos_words
+        if mesh is not None and k <= 15 and mesh.shape.get("data", 1) > 1:
+            from subphaser_tpu.parallel.sharded_count import sharded_spectrum
+
+            codes64, counts64 = sharded_spectrum(mesh, tiles, k, n_pos_words)
+            keep = counts64 >= lower_count
+            codes, counts = codes64[keep], counts64[keep]
+            meter.stop(chrom.length / 1e6)
+            total = int(counts.sum())
+            logger.info(
+                "Counted %s on %d devices: %d distinct k-mers (count >= %d), "
+                "%d total", chrom.name, mesh.shape["data"], codes.size,
+                lower_count, total,
+            )
+            if checkpoint is not None:
+                checkpoint.save(ckp_name, params, codes=codes, counts=counts,
+                                total=total)
+            spectra.append(
+                ChromSpectrum(name=chrom.name, codes=codes, counts=counts,
+                              total=total)
+            )
+            continue
         # fast path: hold the chromosome's raw codes on device and run ONE
         # keys-only sort (per-batch RLE + pair merges re-sort every element
         # and carry counts through the sort for no benefit)

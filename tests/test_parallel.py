@@ -97,3 +97,35 @@ def test_sharded_phase_step_matches_host(setup, mesh_shape):
     a = {assign[c] for c in labels if c.startswith("A")}
     b = {assign[c] for c in labels if c.startswith("B")}
     assert len(a) == 1 and len(b) == 1 and a != b
+
+
+def test_pipeline_multi_vs_single_byte_identical(tmp_path):
+    """Pipeline.run on the 8-device mesh writes byte-identical outputs to a
+    forced single-device run (mesh counting + sharded mapping change only
+    WHERE compute happens, never results)."""
+    from tests.make_synthetic import make_genome
+    from subphaser_tpu.phase.pipeline import Pipeline
+
+    d = tmp_path / "gen"
+    make_genome(str(d), n_sets=2, chrom_size=60_000)
+    outs = {}
+    for tag, ndev in (("multi", None), ("single", 1)):
+        pipe = Pipeline(
+            [str(d / "genome.fa.gz")], [str(d / "sg.config")],
+            outdir=str(tmp_path / f"out_{tag}"),
+            tmpdir=str(tmp_path / f"tmp_{tag}"),
+            min_freq=40, replicates=10, tile_bases=1 << 16, figfmt="png",
+            disable_ltr=True, disable_circos=True, window_size=40_000,
+            seed=0, n_devices=ndev,
+        )
+        pipe.run()
+        outs[tag] = tmp_path / f"out_{tag}"
+        if tag == "multi":
+            assert pipe.mesh is not None, "multi run did not build a mesh"
+        else:
+            assert pipe.mesh is None
+    for name in ("k15_q40_f2.kmer.mat", "k15_q40_f2.chrom-subgenome.tsv",
+                 "k15_q40_f2.subgenome.bin.count", "k15_q40_f2.bin.enrich"):
+        a = (outs["multi"] / name).read_bytes()
+        b = (outs["single"] / name).read_bytes()
+        assert a == b, f"{name} differs between multi- and single-device runs"
