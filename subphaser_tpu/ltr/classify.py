@@ -201,8 +201,8 @@ def _viterbi_scan_batch():
         p, m, _ = ms.shape
 
         def step(carry, xi):
-            vm, vi, vd, best = carry
-            x, valid = xi
+            vm, vi, vd, best, bpos = carry
+            x, valid, pos = xi
             emit = ms[:, :, x]  # (P, M)
             cand = jnp.maximum(
                 jnp.maximum(vm[:, :-1] + tmm[:, :-1], vi[:, :-1] + tim[:, :-1]),
@@ -216,10 +216,16 @@ def _viterbi_scan_batch():
             b = new_vm[:, :m] + tmd_shift
             run_ = jax.lax.cummax(b, axis=1) + s_shift
             new_vd = jnp.concatenate([jnp.full((p, 1), _NEG), run_], axis=1)
-            new_best = jnp.maximum(best, jnp.max(new_vm, axis=1))
+            col_best = jnp.max(new_vm, axis=1)
+            improved = col_best > best
+            new_best = jnp.maximum(best, col_best)
+            # residue index (filtered coordinates) where the best local
+            # alignment ENDS — used to excise domain peptides for trees
+            new_bpos = jnp.where(improved, pos, bpos)
             out = jax.tree.map(
                 lambda new, old: jnp.where(valid, new, old),
-                (new_vm, new_vi, new_vd, new_best), (vm, vi, vd, best),
+                (new_vm, new_vi, new_vd, new_best, new_bpos),
+                (vm, vi, vd, best, bpos),
             )
             return out, None
 
@@ -228,11 +234,15 @@ def _viterbi_scan_batch():
             jnp.full((p, m + 1), _NEG),
             jnp.full((p, m + 1), _NEG),
             jnp.zeros(p),
+            jnp.zeros(p, jnp.int32),
         )
         l = seq_idx.shape[0]
         valid = jnp.arange(l) < n_valid
-        (vm, vi, vd, best), _ = jax.lax.scan(step, init, (seq_idx, valid))
-        return best
+        posv = jnp.arange(l, dtype=jnp.int32)
+        (vm, vi, vd, best, bpos), _ = jax.lax.scan(
+            step, init, (seq_idx, valid, posv)
+        )
+        return best, bpos
 
     return run
 
@@ -271,21 +281,31 @@ class ProfileStack:
 
     def scores(self, seq_idx: np.ndarray, pad_to: int | None = None) -> np.ndarray:
         """Best local Viterbi score of each profile against one sequence."""
+        return self.scores_pos(seq_idx, pad_to)[0]
+
+    def scores_pos(
+        self, seq_idx: np.ndarray, pad_to: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(scores, end positions) of each profile's best local alignment.
+
+        End positions are indices into the FILTERED residue array passed in.
+        """
         global _viterbi_batch_fn
         if _viterbi_batch_fn is None:
             _viterbi_batch_fn = _viterbi_scan_batch()
         n = seq_idx.size
         if n == 0:
-            return np.zeros(len(self.profiles))
+            z = np.zeros(len(self.profiles))
+            return z, np.zeros(len(self.profiles), np.int32)
         # pad length to buckets to bound recompilation
         l = pad_to or max(1 << (n - 1).bit_length(), 64)
         idx = np.zeros(l, dtype=np.int32)
         idx[:n] = seq_idx
-        out = _viterbi_batch_fn(
+        out, pos = _viterbi_batch_fn(
             idx, np.int32(n), self.ms, self.tmm, self.tmi, self.tim,
             self.tii, self.tdm, self.tmd_shift, self.s_shift,
         )
-        return np.asarray(out)
+        return np.asarray(out), np.asarray(pos)
 
 
 # ---------------------------------------------------------------------------
@@ -304,6 +324,7 @@ class Classification:
     strand: str | None = "?"
     domains: str | None = None
     score: float = 0.0
+    domain_seqs: dict | None = None  # domain -> best-hit peptide (for trees)
 
 
 def parse_rexdb_name(name: str) -> tuple[str | None, str | None, str | None, str | None]:
@@ -356,14 +377,24 @@ def classify_elements(
     out: dict[str, Classification] = {}
     for eid, seq in elements:
         frames = six_frames(seq)
-        hits = []  # (score, strand, order, superfamily, clade, domain)
+        hits = []  # (score, strand, order, superfamily, clade, domain, pep)
         for prot, _f, strand in frames:
-            idx = np.array([_AA_IDX.get(a, -1) for a in prot], dtype=np.int64)
-            idx = idx[idx >= 0].astype(np.int32)
-            scores = stack.scores(idx)
+            raw = np.array([_AA_IDX.get(a, -1) for a in prot], dtype=np.int64)
+            pos_map = np.flatnonzero(raw >= 0)
+            idx = raw[pos_map].astype(np.int32)
+            scores, ends = stack.scores_pos(idx)
             for pi in np.flatnonzero(scores >= min_score):
                 o, sf, cl, dom = meta[pi]
-                hits.append((float(scores[pi]), strand, o, sf, cl, dom))
+                pep = None
+                if dom and idx.size:
+                    # excise the domain peptide around the best local
+                    # alignment END (reference concatenate_domains.py:10-143
+                    # uses hmmscan envelopes; ~1.2x the profile length back
+                    # from the end covers the aligned region)
+                    e = min(int(ends[pi]), idx.size - 1)
+                    lo = max(0, e - int(1.2 * profiles[pi].length))
+                    pep = prot[int(pos_map[lo]) : int(pos_map[e]) + 1]
+                hits.append((float(scores[pi]), strand, o, sf, cl, dom, pep))
         if not hits:
             out[eid] = Classification(id=eid)
             continue
@@ -374,10 +405,16 @@ def classify_elements(
         clades = [h[4] for h in hits if h[3] == best[3] and h[4]]
         clade = max(set(clades), key=clades.count) if clades else best[4]
         completed = "yes" if all(d in doms for d in DOMAIN_ORDER) else "no"
+        # best peptide per domain among hits of the winning superfamily
+        domain_seqs: dict = {}
+        for h in hits:
+            if h[3] == best[3] and h[5] and h[6] and h[5] not in domain_seqs:
+                domain_seqs[h[5]] = h[6]
         out[eid] = Classification(
             id=eid, order=best[2], superfamily=best[3], clade=clade,
             completed=completed, strand=best[1],
             domains=" ".join(sorted(doms)), score=best[0],
+            domain_seqs=domain_seqs or None,
         )
     return out
 

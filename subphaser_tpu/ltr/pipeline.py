@@ -38,6 +38,7 @@ class LTRPipeline:
         tile_bases: int = 1 << 22,
     ):
         self.genome = genome
+        self.d_class: dict = {}
         self.tmpdir = tmpdir
         self.harvest_options = harvest_options
         self.finder_options = finder_options
@@ -137,6 +138,7 @@ class LTRPipeline:
         # ones (reference app.py:417-432 blast equivalent)
         full = [(ltr.id, ltr.get_full_seq(d_seqs[ltr.seq_id])) for ltr in ltrs]
         d_class = clsmod.classify_pass2(full, d_class)
+        self.d_class = d_class
         cls_file = self.int_seqs + ".cls.tsv"
         with open(cls_file, "w") as f:
             clsmod.write_cls_tsv(d_class, f)

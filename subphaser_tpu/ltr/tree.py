@@ -53,6 +53,33 @@ def _sketch(seq: str, k: int = SKETCH_K, s: int = SKETCH) -> np.ndarray:
     return u[:s]
 
 
+_AA20 = "ACDEFGHIKLMNPQRSTVWY"
+_AA_ORD = {a: i for i, a in enumerate(_AA20)}
+
+
+def _sketch_peptide(pep: str, k: int = 5, s: int = SKETCH) -> np.ndarray:
+    """Bottom-s MinHash sketch of amino-acid k-mer hashes (uint64, sorted).
+
+    Used for domain-based trees: the reference concatenates per-domain
+    peptides and aligns them (concatenate_domains.py:10-143 + mafft);
+    here peptide k-mer sketches feed the same NJ machinery.
+    """
+    idx = np.array([_AA_ORD.get(a, -1) for a in pep.upper()], dtype=np.int64)
+    idx = idx[idx >= 0]
+    n = idx.size - k + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    code = np.zeros(n, dtype=np.int64)
+    for j in range(k):
+        code = code * 20 + idx[j : j + n]
+    h = code.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    h ^= h >> np.uint64(29)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(32)
+    u = np.unique(h)
+    return u[:s]
+
+
 def mash_distances(sketches: list[np.ndarray], k: int = SKETCH_K) -> np.ndarray:
     """Pairwise Mash distances from bottom-s sketches (device-accelerated)."""
     import jax
@@ -104,6 +131,9 @@ def mash_distances(sketches: list[np.ndarray], k: int = SKETCH_K) -> np.ndarray:
     return dist
 
 
+_DOMAIN_ALIASES = {"AP": "PROT", "RNASEH": "RH"}
+
+
 def build_ltr_trees(
     enrich_ltrs,
     d_seqs: dict[str, str],
@@ -114,12 +144,25 @@ def build_ltr_trees(
     d_colors: dict | None = None,
     figfmt: str = "pdf",
     seed: int = 0,
+    d_class: dict | None = None,
 ) -> dict[str, tuple[str, str]]:
     """Build one tree per classified superfamily group.
+
+    With ``d_class`` (id -> Classification carrying per-domain peptides),
+    trees are built from the CONCATENATED domain peptides of the requested
+    ``domains`` — the reference's per-(Copia, Gypsy) INT+RT+RH
+    concatenated-domain trees (LTR.py:144-299,
+    concatenate_domains.py:10-143) — and elements lacking every requested
+    domain are dropped from that group's tree, as the reference does.
+    Without domain info, whole-element DNA sketches are used. All trees are
+    midpoint-rerooted (nw_reroot analogue, LTR.py:222).
 
     Returns {group: (treefile, mapfile)}.
     """
     rng = np.random.default_rng(seed)
+    want_doms = [
+        _DOMAIN_ALIASES.get(d.upper(), d.upper()) for d in (domains or [])
+    ]
     groups = defaultdict(list)
     for ltr in enrich_ltrs:
         if exclude_exchanges and ltr.exchange == "yes":
@@ -135,13 +178,43 @@ def build_ltr_trees(
         if subsample and len(ltrs) > subsample:
             idx = rng.choice(len(ltrs), subsample, replace=False)
             ltrs = [ltrs[i] for i in sorted(idx)]
+
+        # concatenated domain peptides when the classifier recorded them
+        peptides = None
+        if d_class and want_doms:
+            peptides = []
+            for ltr in ltrs:
+                cls = d_class.get(ltr.id)
+                dseqs = getattr(cls, "domain_seqs", None) or {}
+                peptides.append(
+                    "".join(dseqs[d] for d in want_doms if d in dseqs)
+                )
+            with_dom = [i for i, p in enumerate(peptides) if len(p) >= 30]
+            if len(with_dom) >= 4:
+                logger.info(
+                    "LTR tree group %s: %d/%d elements carry %s domains",
+                    key, len(with_dom), len(ltrs), "+".join(want_doms),
+                )
+                ltrs = [ltrs[i] for i in with_dom]
+                peptides = [peptides[i] for i in with_dom]
+            else:
+                peptides = None
+
         # ':' in LTR ids collides with newick branch-length syntax
         names = [ltr.id.replace(":", "_") for ltr in ltrs]
-        sketches = [
-            _sketch(ltr.get_full_seq(d_seqs[ltr.seq_id])) for ltr in ltrs
-        ]
-        dist = mash_distances(sketches)
+        if peptides is not None:
+            sketches = [_sketch_peptide(p) for p in peptides]
+            dist = mash_distances(sketches, k=5)
+        else:
+            sketches = [
+                _sketch(ltr.get_full_seq(d_seqs[ltr.seq_id])) for ltr in ltrs
+            ]
+            dist = mash_distances(sketches)
         newick = nj_tree(dist, names)
+        try:
+            newick = reroot_midpoint(newick)
+        except Exception as e:  # noqa: BLE001 — plotting must not kill runs
+            logger.warning("Midpoint reroot for %s failed: %s", key, e)
         treefile = f"{out_prefix}.{key}.tree.nwk"
         mapfile = f"{out_prefix}.{key}.tree.map"
         with open(treefile, "w") as f:
@@ -210,6 +283,90 @@ def parse_newick(s: str) -> _Node:
         return node
 
     return parse()
+
+
+def _to_newick(node: _Node) -> str:
+    if not node.children:
+        return f"{node.name}:{node.length:.6g}"
+    inner = ",".join(_to_newick(c) for c in node.children)
+    return f"({inner}){node.name}:{node.length:.6g}"
+
+
+def reroot_midpoint(newick: str) -> str:
+    """Reroot at the midpoint of the longest leaf-to-leaf path.
+
+    The reference pipes its trees through nw_reroot before plotting
+    (LTR.py:222); midpoint rooting is the label-free equivalent.
+    """
+    import sys
+
+    sys.setrecursionlimit(max(sys.getrecursionlimit(), 100_000))
+    root = parse_newick(newick)
+    # undirected adjacency over node objects
+    adj: dict[int, list[tuple[_Node, float]]] = {}
+    nodes: dict[int, _Node] = {}
+
+    def walk(n):
+        nodes[id(n)] = n
+        adj.setdefault(id(n), [])
+        for c in n.children:
+            adj.setdefault(id(c), [])
+            adj[id(n)].append((c, c.length))
+            adj[id(c)].append((n, c.length))
+            walk(c)
+
+    walk(root)
+    leaves = [n for n in nodes.values() if not n.children]
+    if len(leaves) < 3:
+        return newick
+
+    def farthest(start):
+        dist = {id(start): 0.0}
+        prev: dict[int, _Node] = {}
+        stack = [start]
+        while stack:
+            u = stack.pop()
+            for v, w in adj[id(u)]:
+                if id(v) not in dist:
+                    dist[id(v)] = dist[id(u)] + w
+                    prev[id(v)] = u
+                    stack.append(v)
+        best = max(leaves, key=lambda l: dist[id(l)])
+        return best, dist, prev
+
+    a, _, _ = farthest(leaves[0])
+    b, dist, prev = farthest(a)
+    # path a -> b; walk back from b until the midpoint edge
+    half = dist[id(b)] / 2.0
+    cur, walked = b, 0.0
+    while id(cur) in prev:
+        parent = prev[id(cur)]
+        elen = dist[id(cur)] - dist[id(parent)]
+        if walked + elen >= half:
+            # midpoint lies on edge (parent, cur), at `half - walked` from cur
+            off = half - walked
+            new_root = _Node()
+            new_root.name = ""
+            new_root.length = 0.0
+
+            def hang(n, come_from, blen):
+                """Re-orient: make n a child subtree rooted away from come_from."""
+                m = _Node()
+                m.name = n.name
+                m.length = blen
+                for v, w in adj[id(n)]:
+                    if v is come_from:
+                        continue
+                    m.children.append(hang(v, n, w))
+                return m
+
+            c1 = hang(cur, parent, off)
+            c2 = hang(parent, cur, elen - off)
+            new_root.children = [c1, c2]
+            return _to_newick(new_root)[: _to_newick(new_root).rfind(":")] + ";"
+        walked += elen
+        cur = parent
+    return newick
 
 
 def plot_circular_tree(newick: str, d_sg: dict[str, str], d_colors: dict,

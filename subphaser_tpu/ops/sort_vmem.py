@@ -117,6 +117,40 @@ def _block_sort_kernel(total_bits: int):
     return kernel
 
 
+def _block_sort_kernel_loop(total_bits: int):
+    """Compile-friendly block sort: fori_loop over phases, each iteration
+    runs one full masked descent (stages with stride >= the phase's run
+    length pass through unchanged).
+
+    The unrolled variant (_block_sort_kernel) emits 171 stages and costs
+    Mosaic a very long compile; this one emits 18 and loops — the ~1.9x
+    extra compare-exchange work is VMEM-resident and hides under the HBM
+    stream (measured: an 18-stage descent times within noise of a
+    passthrough kernel).
+    """
+
+    def kernel(x_ref, o_ref):
+        b = pl.program_id(0)
+        r = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+        local = b * BLK + r * C + c
+
+        def phase_body(p, x):
+            if BLK_BITS >= total_bits:
+                # single-block sort: final phase must be all-ascending
+                desc = jnp.logical_and(((local >> p) & 1) == 1, p < total_bits)
+            else:
+                desc = ((local >> p) & 1) == 1
+            for sbit in range(BLK_BITS - 1, -1, -1):
+                y = _stage(x, sbit, desc)
+                x = jnp.where(sbit < p, y, x)
+            return x
+
+        o_ref[0] = jax.lax.fori_loop(1, BLK_BITS + 1, phase_body, x_ref[0])
+
+    return kernel
+
+
 def _descent_kernel(x_ref, desc_ref, o_ref):
     """Strides 2^(BLK_BITS-1)..1 with a per-block direction scalar.
 
@@ -158,12 +192,17 @@ def _cross_stage(flat, sbit: int, p: int, total_bits: int):
     return jnp.stack([lo2, hi2], axis=1).reshape(-1)
 
 
+UNROLL_BLOCK_SORT = False  # the unrolled kernel costs Mosaic a huge compile
+
+
 @functools.partial(jax.jit, static_argnames=("total_bits",))
 def _sort_impl(flat, total_bits: int):
     n_blocks = flat.shape[0] // BLK
     blocks = flat.reshape(n_blocks, R, C)  # row-major: free relayout
     blocks = pl.pallas_call(
-        _block_sort_kernel(total_bits),
+        (_block_sort_kernel if UNROLL_BLOCK_SORT else _block_sort_kernel_loop)(
+            total_bits
+        ),
         out_shape=jax.ShapeDtypeStruct(blocks.shape, blocks.dtype),
         grid=(n_blocks,),
         in_specs=[_BSPEC],

@@ -586,6 +586,7 @@ class Pipeline:
                     domains=self.ltr_domains, subsample=self.subsample,
                     exclude_exchanges=self.exclude_exchanges,
                     d_colors=d_colors, figfmt=self.figfmt,
+                    d_class=getattr(lpipe, "d_class", None),
                 )
             except Exception as e:
                 logger.warning("LTR tree step failed: %s", e)

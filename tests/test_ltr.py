@@ -190,3 +190,111 @@ def test_classify_translate():
     assert o == "LTR" and sf == "Copia" and cl == "Ale" and dom == "RT"
     o, sf, cl, dom = parse_rexdb_name("Class_I/LTR/Ty3_gypsy/chromovirus/CRM:INT")
     assert sf == "Gypsy" and dom == "INT" and cl == "CRM"
+
+
+def test_reroot_midpoint():
+    from subphaser_tpu.ltr.tree import parse_newick, reroot_midpoint
+
+    # caterpillar tree: diameter path is A..D with length 10; midpoint lies
+    # 5 from each end, inside the internal edge
+    nwk = "((A:1,B:2):3,(C:2,D:6):1);"
+    out = reroot_midpoint(nwk)
+    root = parse_newick(out)
+    assert len(root.children) == 2
+
+    def leaf_depths(n, d=0.0, acc=None):
+        acc = {} if acc is None else acc
+        if not n.children:
+            acc[n.name] = d + n.length
+        for c in n.children:
+            leaf_depths(c, d + n.length if n.name or n.children else d, acc)
+        return acc
+
+    def depths(n, d0=0.0):
+        out_d = {}
+        def rec(m, d):
+            d2 = d + m.length
+            if not m.children:
+                out_d[m.name] = d2
+            for c in m.children:
+                rec(c, d2)
+        for c in n.children:
+            rec(c, 0.0)
+        return out_d
+
+    d = depths(root)
+    # diameter is B-D with length 12; after midpoint rooting both
+    # endpoints sit exactly 6.0 from the root
+    assert abs(d["B"] - 6.0) < 1e-6, d
+    assert abs(d["D"] - 6.0) < 1e-6, d
+    assert max(d.values()) <= 6.0 + 1e-6, d
+
+
+def test_domain_tree_grouping(tmp_path):
+    """Domain-peptide trees separate two clades and drop domainless
+    elements (reference concatenate_domains semantics)."""
+    import numpy as np
+
+    from subphaser_tpu.ltr.classify import Classification
+    from subphaser_tpu.ltr.tree import build_ltr_trees
+
+    rng = np.random.default_rng(11)
+    aas = "ACDEFGHIKLMNPQRSTVWY"
+
+    def rand_pep(n):
+        return "".join(rng.choice(list(aas), size=n))
+
+    def mutate_pep(p, rate):
+        return "".join(
+            rng.choice([c for c in aas if c != ch]) if rng.random() < rate else ch
+            for ch in p
+        )
+
+    class FakeLTR:
+        def __init__(self, id, sg):
+            self.id, self.sg = id, sg
+            self.superfamily = "Copia"
+            self.exchange = "no"
+            self.seq_id = "c1"
+
+        def get_full_seq(self, seq):
+            return "ACGT" * 300
+
+    base_a, base_b = rand_pep(240), rand_pep(240)
+    ltrs, d_class = [], {}
+    for i in range(5):
+        for sg, base in (("SG1", base_a), ("SG2", base_b)):
+            lid = f"{sg}_e{i}"
+            l = FakeLTR(lid, sg)
+            ltrs.append(l)
+            d_class[lid] = Classification(
+                id=lid, order="LTR", superfamily="Copia",
+                domain_seqs={"INT": mutate_pep(base[:80], 0.05),
+                             "RT": mutate_pep(base[80:160], 0.05),
+                             "RH": mutate_pep(base[160:], 0.05)},
+            )
+    # one element with NO domains: must be dropped from the tree
+    nod = FakeLTR("SG1_nodom", "SG1")
+    ltrs.append(nod)
+    d_class["SG1_nodom"] = Classification(id="SG1_nodom", order="LTR",
+                                          superfamily="Copia")
+    out = build_ltr_trees(
+        ltrs, {"c1": "ACGT" * 400}, str(tmp_path / "t"),
+        domains=["INT", "RT", "RH"], d_colors={"SG1": "#f00", "SG2": "#00f"},
+        figfmt="png", d_class=d_class,
+    )
+    assert "Copia" in out
+    treefile, mapfile = out["Copia"]
+    nwk = open(treefile).read()
+    assert "SG1_nodom" not in nwk
+    # clades separate: the two subtrees under the midpoint root are pure
+    from subphaser_tpu.ltr.tree import parse_newick
+
+    root = parse_newick(nwk)
+    def leaves(n):
+        if not n.children:
+            return [n.name]
+        return [x for c in n.children for x in leaves(c)]
+    sides = [set(leaves(c)) for c in root.children]
+    joined = [{"SG1" if "SG1" in x else "SG2" for x in side} for side in sides]
+    assert any(len(j) == 1 for j in joined), f"clades mixed: {sides}"
