@@ -360,20 +360,69 @@ def parse_rexdb_name(name: str) -> tuple[str | None, str | None, str | None, str
     return order, superfamily, clade, dom
 
 
+def calibrate_null_threshold(
+    stack: "ProfileStack",
+    lengths=(256, 1024, 4096),
+    n_samples: int = 12,
+    quantile_margin: float = 3.0,
+    seed: int = 0,
+):
+    """Fit a length-dependent score threshold from a random-sequence null.
+
+    Scores the stacked profiles against random i.i.d. peptides and fits
+    max-over-profiles null scores to a + b*ln(L) (Gumbel location grows
+    logarithmically with search length), returning
+    ``fn(L) -> threshold`` = fitted null mean + ``quantile_margin`` null
+    standard deviations. Replaces a fixed magic constant with the same
+    role E-values play for hmmsearch in the reference's TEsorter
+    (app.py:719-930).
+    """
+    rng = np.random.default_rng(seed)
+    xs, mus, sds = [], [], []
+    for L in lengths:
+        best = []
+        for _ in range(n_samples):
+            idx = rng.integers(0, 20, size=L).astype(np.int32)
+            s, _pos = stack.scores_pos(idx, pad_to=L)
+            best.append(float(np.max(s)))
+        xs.append(math.log(L))
+        mus.append(float(np.mean(best)))
+        sds.append(float(np.std(best) + 1e-9))
+    b, a = np.polyfit(xs, mus, 1)
+    sd = float(np.mean(sds))
+
+    def fn(L: int) -> float:
+        return a + b * math.log(max(L, 2)) + quantile_margin * sd
+
+    return fn
+
+
 def classify_elements(
     elements: list[tuple[str, str]],
     db_path: str,
-    min_score: float = 25.0,
+    min_score: float | None = None,
 ) -> dict[str, Classification]:
     """elements: (id, inner_dna_seq). Returns id -> Classification.
 
-    ``min_score`` is a local-Viterbi score floor in nats; genuine REXdb
-    domain hits (150-300 aa profiles) score in the hundreds, while chance
-    maxima on multi-kb translations grow only logarithmically.
+    ``min_score``: local-Viterbi score floor in nats. When None, the floor
+    is CALIBRATED per database from a random-peptide null model
+    (calibrate_null_threshold) with an absolute minimum of 15 nats —
+    genuine REXdb domain hits (150-300 aa profiles) score in the hundreds,
+    while chance maxima on multi-kb translations grow only
+    logarithmically.
     """
     profiles = load_hmm_db(db_path)
     stack = ProfileStack(profiles)
     meta = [parse_rexdb_name(p.name) for p in profiles]
+    thresh_fn = None
+    if min_score is None:
+        thresh_fn = calibrate_null_threshold(stack)
+        from subphaser_tpu.utils.log import logger
+
+        logger.info(
+            "Classifier null calibration: threshold %.1f nats @1kaa, "
+            "%.1f @4kaa", thresh_fn(1000), thresh_fn(4000),
+        )
     out: dict[str, Classification] = {}
     for eid, seq in elements:
         frames = six_frames(seq)
@@ -383,7 +432,11 @@ def classify_elements(
             pos_map = np.flatnonzero(raw >= 0)
             idx = raw[pos_map].astype(np.int32)
             scores, ends = stack.scores_pos(idx)
-            for pi in np.flatnonzero(scores >= min_score):
+            if min_score is not None:
+                floor = min_score
+            else:
+                floor = max(15.0, thresh_fn(max(idx.size, 2)))
+            for pi in np.flatnonzero(scores >= floor):
                 o, sf, cl, dom = meta[pi]
                 pep = None
                 if dom and idx.size:

@@ -171,3 +171,42 @@ def test_pass2_transfer():
     assert out["B"].clade == "Ale"
     assert out["B"].completed == "no"
     assert out["C"].order is None
+
+
+def test_calibrated_threshold_rejects_noise(hmm_db):
+    """Null-model calibration: random DNA stays unclassified at default
+    (calibrated) threshold, across a range of element lengths."""
+    import numpy as np
+
+    path, _ = hmm_db
+    rng = np.random.default_rng(5)
+    els = [
+        (f"r{i}", "".join(rng.choice(list("ACGT"), size=n)))
+        for i, n in enumerate([900, 3000, 9000])
+    ]
+    d = classify_elements(els, path)  # min_score=None -> calibrated
+    for eid, c in d.items():
+        assert c.order is None, (eid, c)
+
+
+def test_domain_positions_recorded(hmm_db):
+    """classify_elements stores per-domain peptides that overlap the
+    planted domain region (needed for domain-based trees)."""
+    path, peptides = hmm_db
+    from tests.test_classify import reverse_translate
+
+    rt = peptides["RT"]
+    inner = (
+        "".join(np.random.default_rng(0).choice(list("ACGT"), size=300))
+        + reverse_translate(rt)
+        + "".join(np.random.default_rng(1).choice(list("ACGT"), size=300))
+    )
+    d = classify_elements([("el", inner)], path)
+    c = d["el"]
+    assert c.domain_seqs and "RT" in c.domain_seqs
+    pep = c.domain_seqs["RT"]
+    # excised window overlaps the true domain peptide substantially
+    from difflib import SequenceMatcher
+
+    m = SequenceMatcher(None, pep, rt).find_longest_match(0, len(pep), 0, len(rt))
+    assert m.size >= len(rt) // 2, (m.size, len(rt))
