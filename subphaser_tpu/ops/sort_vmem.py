@@ -117,36 +117,43 @@ def _block_sort_kernel(total_bits: int):
     return kernel
 
 
-def _block_sort_kernel_loop(total_bits: int):
-    """Compile-friendly block sort: fori_loop over phases, each iteration
-    runs one full masked descent (stages with stride >= the phase's run
-    length pass through unchanged).
+def _block_sort_kernel_grid(total_bits: int):
+    """Compile-friendly block sort: the bitonic PHASE is a grid dimension.
 
-    The unrolled variant (_block_sort_kernel) emits 171 stages and costs
-    Mosaic a very long compile; this one emits 18 and loops — the ~1.9x
-    extra compare-exchange work is VMEM-resident and hides under the HBM
-    stream (measured: an 18-stage descent times within noise of a
-    passthrough kernel).
+    Grid = (n_blocks, BLK_BITS), phases minor: consecutive steps share the
+    same block index, so Pallas keeps the block resident in VMEM across all
+    BLK_BITS phases (input DMA'd once, output flushed once per block). Each
+    step is ONE masked descent — 18 straight-line stages, which Mosaic
+    compiles in seconds and allocates tightly. (A fori_loop over phases
+    inside one kernel instead makes Mosaic SUM the 18 stages' temporaries
+    in its stack allocation -> scoped-vmem OOM; and fully unrolling all 171
+    stages never finished compiling. Measured on v5e.)
+
+    The ~1.9x extra masked compare-exchange work is VMEM-resident and
+    hides under the stream.
     """
 
     def kernel(x_ref, o_ref):
         b = pl.program_id(0)
+        p = pl.program_id(1) + 1  # phase 1..BLK_BITS
+
+        @pl.when(p == 1)
+        def _():
+            o_ref[0] = x_ref[0]
+
         r = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
         c = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
         local = b * BLK + r * C + c
-
-        def phase_body(p, x):
-            if BLK_BITS >= total_bits:
-                # single-block sort: final phase must be all-ascending
-                desc = jnp.logical_and(((local >> p) & 1) == 1, p < total_bits)
-            else:
-                desc = ((local >> p) & 1) == 1
-            for sbit in range(BLK_BITS - 1, -1, -1):
-                y = _stage(x, sbit, desc)
-                x = jnp.where(sbit < p, y, x)
-            return x
-
-        o_ref[0] = jax.lax.fori_loop(1, BLK_BITS + 1, phase_body, x_ref[0])
+        if BLK_BITS >= total_bits:
+            # single-block sort: final phase must be all-ascending
+            desc = jnp.logical_and(((local >> p) & 1) == 1, p < total_bits)
+        else:
+            desc = ((local >> p) & 1) == 1
+        x = o_ref[0]
+        for sbit in range(BLK_BITS - 1, -1, -1):
+            y = _stage(x, sbit, desc)
+            x = jnp.where(sbit < p, y, x)
+        o_ref[0] = x
 
     return kernel
 
@@ -192,21 +199,18 @@ def _cross_stage(flat, sbit: int, p: int, total_bits: int):
     return jnp.stack([lo2, hi2], axis=1).reshape(-1)
 
 
-UNROLL_BLOCK_SORT = False  # the unrolled kernel costs Mosaic a huge compile
-
-
 @functools.partial(jax.jit, static_argnames=("total_bits",))
 def _sort_impl(flat, total_bits: int):
     n_blocks = flat.shape[0] // BLK
     blocks = flat.reshape(n_blocks, R, C)  # row-major: free relayout
+    spec2 = pl.BlockSpec((1, R, C), lambda b, p: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
     blocks = pl.pallas_call(
-        (_block_sort_kernel if UNROLL_BLOCK_SORT else _block_sort_kernel_loop)(
-            total_bits
-        ),
+        _block_sort_kernel_grid(total_bits),
         out_shape=jax.ShapeDtypeStruct(blocks.shape, blocks.dtype),
-        grid=(n_blocks,),
-        in_specs=[_BSPEC],
-        out_specs=_BSPEC,
+        grid=(n_blocks, BLK_BITS),
+        in_specs=[spec2],
+        out_specs=spec2,
     )(blocks)
 
     for p in range(BLK_BITS + 1, total_bits + 1):
