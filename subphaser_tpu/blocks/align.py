@@ -25,12 +25,26 @@ from subphaser_tpu.utils.log import logger
 def align_pair(
     genome: PackedGenome, qname: str, tname: str, k: int = 15, mod: int = 16,
     max_gap: int = 100_000, min_block: int = 20_000, min_anchors: int = 10,
+    emit_cs: bool = True,
 ) -> list[PafRecord]:
     q = genome.chrom(qname)
     t = genome.chrom(tname)
     qc, qp, qs = chrom_anchors(q, k=k, mod=mod)
     tc, tp, ts = chrom_anchors(t, k=k, mod=mod)
     qpos, tpos, rel = match_anchors(qc, qp, qs, tc, tp, ts)
+    q_codes = t_codes = trc = None
+    if emit_cs:
+        from subphaser_tpu.io.encoding import unpack_words
+
+        def decode(c):
+            codes, valid = unpack_words(c.packed, c.vmask, c.length)
+            return np.where(valid.astype(bool), codes, np.uint8(4)).astype(
+                np.uint8
+            )
+
+        q_codes = decode(q)
+        t_codes = decode(t)
+        trc = np.where(t_codes < 4, 3 - t_codes, 4).astype(np.uint8)[::-1]
     records: list[PafRecord] = []
     for strand_flag, sym in ((0, "+"), (1, "-")):
         m = rel == strand_flag
@@ -51,17 +65,87 @@ def align_pair(
                 ts0, te0 = t.length - te0, t.length - ts0
             nmatch = int(c["n_anchors"]) * k
             alen_total = max(int(c["q_end"] - c["q_start"]), 1)
+            tags = {"tp": "P", "cm": int(c["n_anchors"])}
+            if emit_cs:
+                # minimap2-style cs:Z: short tag (reference Paf.py:155-293
+                # consumes it for variant calls): anchors give ':' runs,
+                # inter-anchor gaps are banded-DP aligned base-level
+                from subphaser_tpu.blocks import cs as csmod
+
+                sel = (
+                    (qq >= c["q_start"]) & (qq < c["q_end"])
+                    & (tt >= c["t_start"]) & (tt < c["t_end"])
+                )
+                aq_, at_ = qq[sel], tt[sel]
+                # colinear subset = longest increasing subsequence in t of
+                # the q-sorted anchors (repeat copies create off-diagonal
+                # pairs inside the bounding box; greedy keeps the wrong one)
+                o = np.lexsort((at_, aq_))
+                aq_, at_ = aq_[o], at_[o]
+                aq_, at_ = _lis_anchors(aq_, at_)
+                tgt = t_codes if strand_flag == 0 else trc
+                ops = csmod.build_cs(
+                    q_codes, tgt, aq_, at_,
+                    int(c["q_start"]), int(c["q_end"]),
+                    int(c["t_start"]), int(c["t_end"]), k,
+                )
+                if strand_flag == 1:
+                    ops = csmod.minus_transform(ops)
+                tags["cs"] = csmod.format_cs(ops)
+                nmatch = sum(v for key, v in ops if key == ":")
+                alen_total = nmatch + sum(
+                    1 if key == "*" else len(v)
+                    for key, v in ops
+                    if key in "*+-"
+                )
             records.append(
                 PafRecord(
                     qname=qname, qlen=q.length,
                     qstart=int(c["q_start"]), qend=int(c["q_end"]),
                     strand=sym, tname=tname, tlen=t.length,
                     tstart=ts0, tend=te0,
-                    nmatch=min(nmatch, alen_total), alen=alen_total, mapq=60,
-                    tags={"tp": "P", "cm": int(c["n_anchors"])},
+                    nmatch=min(nmatch, max(alen_total, 1)),
+                    alen=max(alen_total, 1), mapq=60,
+                    tags=tags,
                 )
             )
     return records
+
+
+def _lis_anchors(aq: np.ndarray, at: np.ndarray):
+    """Longest strictly-increasing subsequence of ``at`` (patience sort,
+    O(n log n)); input must be sorted by (aq, at). Returns the colinear
+    anchor subset."""
+    import bisect
+
+    n = aq.size
+    if n == 0:
+        return aq, at
+    tails: list[int] = []      # tails[k] = smallest at-value ending a k+1-LIS
+    tails_idx: list[int] = []
+    prev = np.full(n, -1, dtype=np.int64)
+    for i in range(n):
+        v = int(at[i])
+        k = bisect.bisect_left(tails, v)
+        if k == len(tails):
+            tails.append(v)
+            tails_idx.append(i)
+        else:
+            tails[k] = v
+            tails_idx[k] = i
+        prev[i] = tails_idx[k - 1] if k > 0 else -1
+    # backtrack
+    out = []
+    i = tails_idx[-1]
+    while i >= 0:
+        out.append(i)
+        i = int(prev[i])
+    out.reverse()
+    idx = np.array(out, dtype=np.int64)
+    # drop anchors sharing a q start (keep the first)
+    keep = np.concatenate([[True], np.diff(aq[idx]) > 0])
+    idx = idx[keep]
+    return aq[idx], at[idx]
 
 
 def run_align(

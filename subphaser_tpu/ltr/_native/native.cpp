@@ -379,4 +379,144 @@ int sp_nj_tree(const double* dist, int32_t n, const char* names_blob,
   return (int)tree.size();
 }
 
+
+// ---------------------------------------------------------------------------
+// banded global alignment emitting CIGAR-style runs for PAF cs strings
+// (role of minimap2 --cs, consumed by the reference's CsBlocks parser,
+// Paf.py:171-262). a = query codes, b = target codes (0-3; 4 = N).
+// ops_out holds (op, len) int32 pairs: 0 = diagonal (M; the caller splits
+// into ':' runs and '*' SNPs by comparing bases), 1 = query-only
+// (cs '+', insertion), 2 = target-only (cs '-', deletion).
+// Returns the number of pairs, or -1 when max_ops is too small.
+// ---------------------------------------------------------------------------
+// banded global AFFINE-gap alignment emitting CIGAR-style runs for PAF cs
+// strings (role of minimap2 --cs, consumed by the reference's CsBlocks
+// parser, Paf.py:171-262). a = query codes, b = target codes (0-3; 4 = N).
+// match +2, mismatch -4, gap open -4, gap extend -2 (affine keeps indels in
+// single runs like minimap2's output).
+// ops_out holds (op, len) int32 pairs: 0 = diagonal (M; the caller splits
+// into ':' runs and '*' SNPs by comparing bases), 1 = query-only
+// (cs '+', insertion), 2 = target-only (cs '-', deletion).
+// Returns the number of pairs, or -1 when max_ops is too small.
+// ---------------------------------------------------------------------------
+int sp_banded_align_ops(const uint8_t* a, int la, const uint8_t* b, int lb,
+                        int band, int32_t* ops_out, int max_ops) {
+  if (la < 0 || lb < 0) return -1;
+  int n = 0;
+  if (la == 0 || lb == 0) {
+    if (lb > 0) { if (n >= max_ops) return -1; ops_out[2*n] = 2; ops_out[2*n+1] = lb; ++n; }
+    if (la > 0) { if (n >= max_ops) return -1; ops_out[2*n] = 1; ops_out[2*n+1] = la; ++n; }
+    return n;
+  }
+  band = std::max(band, std::abs(la - lb) + 2);
+  const int W = 2 * band + 1;
+  const int NEG = -1000000000;
+  const int MATCH = 2, MIS = -4, GO = -4, GE = -2;
+  std::vector<int> M(W, NEG), I(W, NEG), D(W, NEG);
+  std::vector<int> nM(W), nI(W), nD(W);
+  // trace bits per cell: [1:0] best-of-three at (i,j) in {0=M,1=I,2=D}
+  //                      [2] M came from I, [3] M came from D
+  //                      [4] I extends, [5] D extends
+  std::vector<uint8_t> trace((size_t)(la + 1) * W, 0);
+  // j = i + (w - band); row 0
+  M[band] = 0;
+  for (int w = band + 1; w < W; ++w) {
+    int j = w - band;
+    if (j > lb) break;
+    D[w] = GO + GE * (j - 1);
+    trace[w] = (uint8_t)(2 | (j > 1 ? 32 : 0));
+  }
+  for (int i = 1; i <= la; ++i) {
+    std::fill(nM.begin(), nM.end(), NEG);
+    std::fill(nI.begin(), nI.end(), NEG);
+    std::fill(nD.begin(), nD.end(), NEG);
+    uint8_t* tr = &trace[(size_t)i * W];
+    for (int w = 0; w < W; ++w) {
+      int j = i + (w - band);
+      if (j < 0 || j > lb) continue;
+      uint8_t bits = 0;
+      if (j == 0) {
+        nI[w] = GO + GE * (i - 1);
+        bits = (uint8_t)(1 | (i > 1 ? 16 : 0));
+        tr[w] = bits;
+        continue;
+      }
+      // M(i,j) from best(i-1,j-1) + sub
+      int prev_best = std::max(M[w], std::max(I[w], D[w]));
+      if (prev_best > NEG / 2) {
+        bool m = a[i - 1] == b[j - 1] && a[i - 1] < 4;
+        nM[w] = prev_best + (m ? MATCH : MIS);
+        if (I[w] == prev_best && I[w] >= M[w]) bits |= 4;
+        else if (D[w] == prev_best && D[w] > M[w]) bits |= 8;
+      }
+      // I(i,j): consume query; from (i-1, j) -> w+1 in prev row
+      if (w + 1 < W) {
+        int open_ = (M[w + 1] > NEG / 2) ? M[w + 1] + GO : NEG;
+        int ext = (I[w + 1] > NEG / 2) ? I[w + 1] + GE : NEG;
+        if (std::max(open_, ext) > NEG / 2) {
+          if (ext > open_) { nI[w] = ext; bits |= 16; }
+          else nI[w] = open_;
+        }
+      }
+      // D(i,j): consume target; from (i, j-1) -> w-1 in current row
+      if (w - 1 >= 0) {
+        int open_ = (nM[w - 1] > NEG / 2) ? nM[w - 1] + GO : NEG;
+        int ext = (nD[w - 1] > NEG / 2) ? nD[w - 1] + GE : NEG;
+        if (std::max(open_, ext) > NEG / 2) {
+          if (ext > open_) { nD[w] = ext; bits |= 32; }
+          else nD[w] = open_;
+        }
+      }
+      int best = std::max(nM[w], std::max(nI[w], nD[w]));
+      if (best == nM[w]) bits |= 0;
+      else if (best == nI[w]) bits |= 1;
+      else bits |= 2;
+      tr[w] = bits;
+    }
+    M.swap(nM); I.swap(nI); D.swap(nD);
+  }
+  int i = la, j = lb;
+  if (j - i + band < 0 || j - i + band >= W) return -1;
+  // start from the best of the three end states
+  int state;  // 0=M 1=I 2=D
+  {
+    int w = j - i + band;
+    int best = std::max(M[w], std::max(I[w], D[w]));
+    state = (best == M[w]) ? 0 : (best == I[w]) ? 1 : 2;
+  }
+  std::vector<std::pair<uint8_t, int32_t>> runs;
+  while (i > 0 || j > 0) {
+    int w = j - i + band;
+    if (w < 0 || w >= W) return -1;
+    uint8_t bits = trace[(size_t)i * W + w];
+    uint8_t op;
+    int ns;
+    if (i == 0) { op = 2; ns = 2; --j; }
+    else if (j == 0) { op = 1; ns = 1; --i; }
+    else if (state == 0) {
+      op = 0;
+      ns = (bits & 4) ? 1 : (bits & 8) ? 2 : 0;
+      --i; --j;
+    } else if (state == 1) {
+      op = 1;
+      ns = (bits & 16) ? 1 : 0;
+      --i;
+    } else {
+      op = 2;
+      ns = (bits & 32) ? 2 : 0;
+      --j;
+    }
+    state = ns;
+    if (!runs.empty() && runs.back().first == op) runs.back().second++;
+    else runs.push_back({op, 1});
+  }
+  if ((int)runs.size() > max_ops) return -1;
+  int cnt = (int)runs.size();
+  for (int t = 0; t < cnt; ++t) {
+    ops_out[2 * t] = runs[cnt - 1 - t].first;
+    ops_out[2 * t + 1] = runs[cnt - 1 - t].second;
+  }
+  return cnt;
+}
+
 }  // extern "C"

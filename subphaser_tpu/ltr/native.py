@@ -105,6 +105,12 @@ def load():
             ctypes.POINTER(ctypes.c_double), ctypes.c_int32, ctypes.c_char_p,
             ctypes.c_char_p, ctypes.c_int64,
         ]
+        lib.sp_banded_align_ops.restype = ctypes.c_int
+        lib.sp_banded_align_ops.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ]
         _lib = lib
         return lib
 
@@ -118,6 +124,24 @@ def banded_identity(a: np.ndarray, b: np.ndarray, band: int = 30) -> float:
     a = np.ascontiguousarray(a, dtype=np.uint8)
     b = np.ascontiguousarray(b, dtype=np.uint8)
     return lib.sp_banded_identity(_u8ptr(a), a.size, _u8ptr(b), b.size, band)
+
+
+def align_ops(a: np.ndarray, b: np.ndarray, band: int = 64) -> np.ndarray:
+    """Banded global alignment of query ``a`` vs target ``b`` (uint8 codes)
+    -> (n, 2) int32 array of (op, len) runs: 0 = diagonal, 1 = query-only
+    (cs '+'), 2 = target-only (cs '-'). Used for PAF cs-string emission."""
+    lib = load()
+    a = np.ascontiguousarray(a, dtype=np.uint8)
+    b = np.ascontiguousarray(b, dtype=np.uint8)
+    cap = 2 * (a.size + b.size) + 16
+    out = np.zeros(2 * cap, dtype=np.int32)
+    n = lib.sp_banded_align_ops(
+        _u8ptr(a), a.size, _u8ptr(b), b.size, band,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap,
+    )
+    if n < 0:
+        raise RuntimeError("sp_banded_align_ops failed (buffer/band)")
+    return out[: 2 * n].reshape(n, 2)
 
 
 def refine_ltr(seq_codes: np.ndarray, seed_i: np.ndarray, seed_j: np.ndarray,

@@ -39,12 +39,16 @@ BLK_BITS = R_BITS + LANE_BITS
 BLK = 1 << BLK_BITS          # 1 MB per block in VMEM
 
 
-def _lane_stage(x, sbit: int, desc):
+def _lane_stage(x, sbit: int, desc, active=None):
     """Compare-exchange at element stride 2^sbit (sbit < LANE_BITS).
 
     Partner x[i ^ s] sits s lanes away; fetched with two circular lane
     rolls selected by the stride bit. ``desc``: bool array broadcastable to
-    (R, C), True where the pair sorts descending.
+    (R, C), True where the pair sorts descending. ``active`` (traced scalar
+    bool or None): when False the stage degenerates to identity — folded in
+    by substituting the partner with x itself (min = max = x), which keeps
+    per-stage VMEM liveness flat (an outer jnp.where(active, y, x) would
+    keep BOTH buffers alive and OOM scoped vmem on long kernels).
     """
     s = 1 << sbit
     pos = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
@@ -52,18 +56,20 @@ def _lane_stage(x, sbit: int, desc):
     fwd = pltpu.roll(x, C - s, 1)   # value at lane + s
     bwd = pltpu.roll(x, s, 1)       # value at lane - s
     partner = jnp.where(is_lo, fwd, bwd)
+    if active is not None:
+        partner = jnp.where(active, partner, x)
     mn = jnp.minimum(x, partner)
     mx = jnp.maximum(x, partner)
     take_mn = jnp.logical_xor(is_lo, desc)
     return jnp.where(take_mn, mn, mx)
 
 
-def _sublane_stage(x, sbit: int, desc):
+def _sublane_stage(x, sbit: int, desc, active=None):
     """Compare-exchange at element stride 2^sbit (sbit >= LANE_BITS).
 
     Sublane stride s = 2^(sbit-7): pair halves via a 4-D reshape (the last
     dim stays 128, which Mosaic lowers as sublane regrouping).
-    ``desc`` must be a bool (R, C) array or scalar.
+    ``desc``: bool (R, C) array or scalar; ``active`` as in _lane_stage.
     """
     s = 1 << (sbit - LANE_BITS)
     v = x.reshape(R // (2 * s), 2, s, C)
@@ -75,17 +81,20 @@ def _sublane_stage(x, sbit: int, desc):
         d = desc.reshape(R // (2 * s), 2, s, C)[:, 0]
     lo2 = jnp.where(d, mx, mn)
     hi2 = jnp.where(d, mn, mx)
+    if active is not None:
+        lo2 = jnp.where(active, lo2, lo)
+        hi2 = jnp.where(active, hi2, hi)
     return jnp.stack([lo2, hi2], axis=1).reshape(R, C)
 
 
-def _stage(x, sbit: int, desc):
+def _stage(x, sbit: int, desc, active=None):
     if sbit < LANE_BITS:
         if isinstance(desc, bool):
             desc = jnp.full((R, C), desc)
         elif getattr(desc, "ndim", 2) == 0:
             desc = jnp.broadcast_to(desc, (R, C))
-        return _lane_stage(x, sbit, desc)
-    return _sublane_stage(x, sbit, desc)
+        return _lane_stage(x, sbit, desc, active)
+    return _sublane_stage(x, sbit, desc, active)
 
 
 def _block_sort_kernel(total_bits: int):
@@ -141,18 +150,19 @@ def _block_sort_kernel_grid(total_bits: int):
         def _():
             o_ref[0] = x_ref[0]
 
-        r = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
-        c = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
-        local = b * BLK + r * C + c
-        if BLK_BITS >= total_bits:
-            # single-block sort: final phase must be all-ascending
-            desc = jnp.logical_and(((local >> p) & 1) == 1, p < total_bits)
-        else:
-            desc = ((local >> p) & 1) == 1
         x = o_ref[0]
         for sbit in range(BLK_BITS - 1, -1, -1):
-            y = _stage(x, sbit, desc)
-            x = jnp.where(sbit < p, y, x)
+            # direction bits recomputed per stage so nothing but x stays
+            # live across stages (scoped-vmem budget)
+            r = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+            c = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+            local = b * BLK + r * C + c
+            if BLK_BITS >= total_bits:
+                # single-block sort: final phase must be all-ascending
+                desc = jnp.logical_and(((local >> p) & 1) == 1, p < total_bits)
+            else:
+                desc = ((local >> p) & 1) == 1
+            x = _stage(x, sbit, desc, active=(sbit < p))
         o_ref[0] = x
 
     return kernel
@@ -211,6 +221,9 @@ def _sort_impl(flat, total_bits: int):
         grid=(n_blocks, BLK_BITS),
         in_specs=[spec2],
         out_specs=spec2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
     )(blocks)
 
     for p in range(BLK_BITS + 1, total_bits + 1):

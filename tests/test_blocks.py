@@ -135,3 +135,81 @@ def test_paf_overlap_contains():
     assert a.toverlap(b) == 50
     assert a.qcontains(b)
     assert not b.qcontains(a)
+
+
+def test_cs_emission_plus_strand():
+    """Native aligner emits a valid cs:Z: string whose variant calls
+    recover planted SNPs and indels (minimap2 --cs equivalent)."""
+    import numpy as np
+
+    from subphaser_tpu.blocks.align import align_pair
+    from subphaser_tpu.io.genome import PackedGenome
+    from tests.test_encoding import random_seq
+
+    rng = np.random.default_rng(21)
+    base = random_seq(rng, 60_000)
+    # target = base; query = base with 3 SNPs, one 5 bp deletion (absent
+    # from query), one 4 bp insertion
+    q = list(base)
+    snp_pos = [10_007, 25_001, 40_003]
+    for p in snp_pos:
+        q[p] = {"A": "C", "C": "G", "G": "T", "T": "A"}[q[p]]
+    del_pos, ins_pos = 18_000, 33_000
+    q = q[:del_pos] + q[del_pos + 5 :]
+    ins_seq = "ACGTA"[:4]
+    q2 = "".join(q)
+    q2 = q2[:ins_pos] + ins_seq + q2[ins_pos:]
+    g = PackedGenome.from_dict({"q": q2, "t": base})
+    recs = align_pair(g, "q", "t", min_block=10_000, min_anchors=5)
+    assert recs, "no block found"
+    r = max(recs, key=lambda r: r.alen)
+    assert "cs" in r.tags
+    calls = r.cs_calls()
+    subs = [(p, ref, alt) for p, ref, alt in calls if ref and alt]
+    dels = [(p, ref, alt) for p, ref, alt in calls if ref and not alt]
+    ins = [(p, ref, alt) for p, ref, alt in calls if alt and not ref]
+    got_sub_pos = {p for p, *_ in subs}
+    for p in snp_pos:
+        assert p in got_sub_pos, f"SNP at {p} missed: {sorted(got_sub_pos)[:5]}"
+    assert any(abs(p - del_pos) <= 8 and len(ref) == 5 for p, ref, _ in dels), dels
+    assert any(abs(p - del_pos) <= 8 for p, _, alt in ins
+               for _ in [0] if len(alt) == 4) or any(
+        len(alt) == 4 for _, _, alt in ins), ins
+    # identity bookkeeping: nmatch/alen consistent with cs
+    ops = r.cs_ops()
+    nmatch = sum(v for op, v in ops if op == ":")
+    assert r.nmatch == nmatch
+
+
+def test_cs_emission_minus_strand():
+    """Minus-strand cs walks the target forward with reverse-complemented
+    query bases (minimap2 layout, consumed by the reference's CsBlocks)."""
+    import numpy as np
+
+    from subphaser_tpu.blocks.align import align_pair
+    from subphaser_tpu.io.genome import PackedGenome
+    from tests.test_encoding import random_seq
+
+    rng = np.random.default_rng(22)
+    base = random_seq(rng, 50_000)
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    q = "".join(comp[c] for c in reversed(base))
+    # one SNP in query coordinates
+    qlist = list(q)
+    qlist[20_000] = {"A": "C", "C": "G", "G": "T", "T": "A"}[qlist[20_000]]
+    q = "".join(qlist)
+    g = PackedGenome.from_dict({"q": q, "t": base})
+    recs = align_pair(g, "q", "t", min_block=10_000, min_anchors=5)
+    minus = [r for r in recs if r.strand == "-"]
+    assert minus, "no minus-strand block"
+    r = max(minus, key=lambda r: r.alen)
+    calls = r.cs_calls()
+    subs = [(p, ref, alt) for p, ref, alt in calls if ref and alt]
+    assert len(subs) >= 1
+    # the SNP at query position 20000 maps to target position
+    # len(q) - 1 - 20000; ref base must equal the target's base there
+    tpos_expect = len(base) - 1 - 20_000
+    hit = [s for s in subs if abs(s[0] - tpos_expect) <= 1]
+    assert hit, (subs[:5], tpos_expect)
+    assert hit[0][1] == base[hit[0][0]].upper()
+    assert hit[0][2] == comp[q[20_000]].upper()
