@@ -150,6 +150,13 @@ def _block_sort_kernel_grid(total_bits: int):
         def _():
             o_ref[0] = x_ref[0]
 
+        # phase bit as a SCALAR mask: `local >> p` would be a per-element
+        # dynamic shift, which Mosaic lowers catastrophically (25+ min
+        # compiles measured); scalar-shift + vector AND is cheap
+        pmask = jnp.left_shift(jnp.int32(1), p)
+        if BLK_BITS >= total_bits:
+            # single-block sort: final phase must be all-ascending
+            pmask = jnp.where(p < total_bits, pmask, jnp.int32(0))
         x = o_ref[0]
         for sbit in range(BLK_BITS - 1, -1, -1):
             # direction bits recomputed per stage so nothing but x stays
@@ -157,26 +164,22 @@ def _block_sort_kernel_grid(total_bits: int):
             r = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
             c = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
             local = b * BLK + r * C + c
-            if BLK_BITS >= total_bits:
-                # single-block sort: final phase must be all-ascending
-                desc = jnp.logical_and(((local >> p) & 1) == 1, p < total_bits)
-            else:
-                desc = ((local >> p) & 1) == 1
+            desc = (local & pmask) != 0
             x = _stage(x, sbit, desc, active=(sbit < p))
         o_ref[0] = x
 
     return kernel
 
 
-def _descent_kernel(x_ref, desc_ref, o_ref):
+def _descent_kernel(desc_ref, x_ref, o_ref):
     """Strides 2^(BLK_BITS-1)..1 with a per-block direction scalar.
 
-    desc_ref is an int32 (1, 1) SMEM block: 1 where this block's slice of
-    the bitonic sequence sorts descending (0 on the final phase). One
-    compile serves every merge level because the level only changes the
-    desc input, not the program.
+    desc_ref is a scalar-prefetched int32 (n_blocks,) array: 1 where this
+    block's slice of the bitonic sequence sorts descending (0 on the final
+    phase). One compile serves every merge level because the level only
+    changes the desc input, not the program.
     """
-    d = desc_ref[0, 0] == 1
+    d = desc_ref[pl.program_id(0)] == 1
     x = x_ref[0]
     desc = jnp.broadcast_to(d, (R, C))
     for sbit in range(BLK_BITS - 1, -1, -1):
@@ -184,8 +187,9 @@ def _descent_kernel(x_ref, desc_ref, o_ref):
     o_ref[0] = x
 
 
-_BSPEC = pl.BlockSpec((1, R, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
-_DSPEC = pl.BlockSpec((1, 1), lambda b: (b, 0), memory_space=pltpu.SMEM)
+# PrefetchScalarGridSpec index maps get (*grid_indices, *scalar_refs)
+_BSPEC = pl.BlockSpec((1, R, C), lambda b, _desc: (b, 0, 0),
+                      memory_space=pltpu.VMEM)
 
 
 def _cross_stage(flat, sbit: int, p: int, total_bits: int):
@@ -232,17 +236,23 @@ def _sort_impl(flat, total_bits: int):
             flat2 = _cross_stage(flat2, sbit, p, total_bits)
         blocks = flat2.reshape(n_blocks, R, C)
         if p >= total_bits:
-            desc = jnp.zeros((n_blocks, 1), jnp.int32)
+            desc = jnp.zeros((n_blocks,), jnp.int32)
         else:
-            bi = jax.lax.broadcasted_iota(jnp.int32, (n_blocks, 1), 0)
+            bi = jax.lax.broadcasted_iota(jnp.int32, (n_blocks, 1), 0)[:, 0]
             desc = (bi >> (p - BLK_BITS)) & 1
         blocks = pl.pallas_call(
             _descent_kernel,
             out_shape=jax.ShapeDtypeStruct(blocks.shape, blocks.dtype),
-            grid=(n_blocks,),
-            in_specs=[_BSPEC, _DSPEC],
-            out_specs=_BSPEC,
-        )(blocks, desc)
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_blocks,),
+                in_specs=[_BSPEC],
+                out_specs=_BSPEC,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+        )(desc, blocks)
     return blocks.reshape(-1)
 
 

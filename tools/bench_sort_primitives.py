@@ -261,3 +261,78 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def _desc_for(b, p, total_bits=25):
+    r = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+    local = b * (R * C) + r * C + c
+    return ((local >> p) & 1) == 1
+
+
+def _masked_stage(x, sbit, desc, active):
+    from subphaser_tpu.ops import sort_vmem as sv
+    return sv._stage(x, sbit, desc, active)
+
+
+@candidate("descent18_masked")
+def _descent_masked():
+    # 1-D grid, masked stages with per-stage iota desc (no pl.when/2D)
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    def body_with_pid(x, b):
+        p = jnp.int32(9)
+        for sbit in range(17, -1, -1):
+            x = _masked_stage(x, sbit, _desc_for(b, p), sbit < p)
+        return x
+
+    spec = pl.BlockSpec((1, R, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+
+    def kernel(x_ref, o_ref):
+        o_ref[0] = body_with_pid(x_ref[0], pl.program_id(0))
+
+    @jax.jit
+    def run(x):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            grid=(x.shape[0],),
+            in_specs=[spec],
+            out_specs=spec,
+        )(x)
+
+    return run
+
+
+@candidate("descent18_grid2d")
+def _descent_grid2d():
+    # 2-D revisiting grid + pl.when + o_ref read, UNMASKED stages
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    spec = pl.BlockSpec((1, R, C), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM)
+
+    def kernel(x_ref, o_ref):
+        p = pl.program_id(1)
+
+        @pl.when(p == 0)
+        def _():
+            o_ref[0] = x_ref[0]
+
+        x = o_ref[0]
+        for i in range(N_STAGES):
+            x = stage_lane_roll(x, i % 7) if i % 2 else stage_sublane_reshape(x, 10 + i % 8)
+        o_ref[0] = x
+
+    @jax.jit
+    def run(x):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            grid=(x.shape[0], 4),
+            in_specs=[spec],
+            out_specs=spec,
+        )(x)
+
+    return run
