@@ -27,9 +27,19 @@ def sort_rle(codes: jnp.ndarray):
     Returns (ucodes, counts) of the same static length N: unique codes in
     ascending order padded with SENTINEL. A trailing run of SENTINEL inputs
     (invalid positions) shows up as one SENTINEL "code" — dropped downstream.
+
+    On TPU with power-of-two sizes >= one VMEM block, the sort runs in the
+    Pallas VMEM bitonic kernel (ops/sort_vmem) instead of lax.sort — the
+    counting path pads to powers of two already (count_codes_threshold,
+    merge_rle_many), so production counting takes the fast path.
     """
+    from subphaser_tpu.ops import sort_vmem
+
     n = codes.size
-    s = jnp.sort(codes.reshape(-1))
+    if sort_vmem.supports(n):
+        s = sort_vmem.vmem_sort(codes.reshape(-1))
+    else:
+        s = jnp.sort(codes.reshape(-1))
     start = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
     (pos,) = jnp.where(start, size=n, fill_value=n)
     ucodes = jnp.where(pos < n, s[jnp.minimum(pos, n - 1)], SENTINEL)
