@@ -28,18 +28,13 @@ def sort_rle(codes: jnp.ndarray):
     ascending order padded with SENTINEL. A trailing run of SENTINEL inputs
     (invalid positions) shows up as one SENTINEL "code" — dropped downstream.
 
-    On TPU with power-of-two sizes >= one VMEM block, the sort runs in the
-    Pallas VMEM bitonic kernel (ops/sort_vmem) instead of lax.sort — the
-    counting path pads to powers of two already (count_codes_threshold,
-    merge_rle_many), so production counting takes the fast path.
+    (A Pallas VMEM bitonic sort was built and verified — ops/sort_vmem —
+    but measured SLOWER than lax.sort at production sizes on the v5e:
+    211 vs 298 M elem/s at 2^25. XLA's sort is already VPU-bound at a
+    lower op count than a masked bitonic network, so lax.sort stays.)
     """
-    from subphaser_tpu.ops import sort_vmem
-
     n = codes.size
-    if sort_vmem.supports(n):
-        s = sort_vmem.vmem_sort(codes.reshape(-1))
-    else:
-        s = jnp.sort(codes.reshape(-1))
+    s = jnp.sort(codes.reshape(-1))
     start = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
     (pos,) = jnp.where(start, size=n, fill_value=n)
     ucodes = jnp.where(pos < n, s[jnp.minimum(pos, n - 1)], SENTINEL)

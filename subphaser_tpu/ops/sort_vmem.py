@@ -1,9 +1,17 @@
-"""Pallas VMEM bitonic sort for int32 keys (the counting-path sort).
+"""Pallas VMEM bitonic sort for int32 keys — EXPERIMENTAL; NOT on the
+production path.
 
-XLA's TPU sort streams every one of the ~log^2(N)/2 bitonic stages through
-HBM; this implementation holds blocks of 2^BLK_BITS elements in VMEM and
-runs every intra-block stage on-chip, so a full sort touches HBM only
-once per block-level pass:
+Measured verdict (v5e, 2026-08, honest fresh-seed timing): bit-exact at
+2^18/2^22/2^25 but 211 M elem/s vs lax.sort's 298 M elem/s at 2^25 —
+the masked grid-phase network executes ~324 stages/element at ~8 VPU ops
+each and is VPU-bound, while XLA's own sort achieves a lower effective op
+count. Counting therefore keeps lax.sort (ops/count.sort_rle). Kept as a
+worked kernel + the record of the Mosaic findings below (dynamic vector
+shifts, fori temporary summing, grid-revisit residency).
+
+Design: XLA's TPU sort streams stages through HBM; this implementation
+holds blocks of 2^BLK_BITS elements in VMEM and runs every intra-block
+stage on-chip, so a full sort touches HBM only once per block-level pass:
 
   1. block-sort kernel: bitonic phases 1..BLK_BITS entirely in VMEM
      (direction bits from the global element index)
