@@ -54,23 +54,35 @@ def bench_tpu(words, vwords):
     enable_compilation_cache()
 
     n_pos_words = TILE_BASES // 16
-
-    iota = jnp.arange(16 * n_pos_words, dtype=jnp.uint32)
+    n_total = N_TILES * 16 * n_pos_words
+    iota = jnp.arange(n_total, dtype=jnp.uint32)
+    CAP = 1 << 22  # generous survivor cap (lower_count=2 on random tiles)
 
     @jax.jit
     def step(ws, vs, salt):
-        def one(wv):
-            # salt the input so every timed iteration is distinct work (the
-            # axon runtime caches repeated identical executions), and make the
-            # checksum POSITION-weighted: sum(code*count) telescopes to
-            # sum(codes) and lets XLA eliminate the whole sort
-            u, c = count_tile(wv[0] ^ salt, wv[1], K, n_pos_words)
-            return jnp.sum(u.astype(jnp.uint32) * iota) + jnp.sum(
-                c.astype(jnp.uint32) * iota
-            )
+        # the PRODUCTION per-chromosome path (phase/spectrum.count_genome
+        # fast path): per-tile canonical codes -> ONE keys-only sort over
+        # the batch -> gather-free scan RLE -> right-sized compaction.
+        # salt inside the jit (the axon runtime caches repeated identical
+        # executions); POSITION-weighted checksum (sum(code*count)
+        # telescopes to sum(codes) and lets XLA eliminate the whole sort)
+        from subphaser_tpu.ops.count import (
+            _compact_survivors,
+            _sorted_run_survivors,
+        )
+        from subphaser_tpu.ops.kmer import kmer_codes
 
-        sums = jax.lax.map(one, (ws, vs))
-        return jnp.sum(sums)
+        def one(wv):
+            return kmer_codes(wv[0] ^ salt, wv[1], K, n_pos_words).reshape(-1)
+
+        codes = jax.lax.map(one, (ws, vs)).reshape(-1)
+        s = jnp.sort(codes)
+        keep, runlen, _m = _sorted_run_survivors(s, 2)
+        u, c = _compact_survivors(s, keep, runlen, CAP)
+        wc = iota[:CAP]
+        return jnp.sum(u.astype(jnp.uint32) * wc) + jnp.sum(
+            c.astype(jnp.uint32) * wc
+        )
 
     ws = jax.device_put(words)
     vs = jax.device_put(vwords)

@@ -31,17 +31,14 @@ def sort_rle(codes: jnp.ndarray):
     (A Pallas VMEM bitonic sort was built and verified — ops/sort_vmem —
     but measured SLOWER than lax.sort at production sizes on the v5e:
     211 vs 298 M elem/s at 2^25. XLA's sort is already VPU-bound at a
-    lower op count than a masked bitonic network, so lax.sort stays.)
+    lower op count than a masked bitonic network, so lax.sort stays.
+    RLE/compaction use contiguous scans + a second sort; the
+    where(size=)+gather formulation costs ~10x the sort itself.)
     """
     n = codes.size
     s = jnp.sort(codes.reshape(-1))
-    start = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
-    (pos,) = jnp.where(start, size=n, fill_value=n)
-    ucodes = jnp.where(pos < n, s[jnp.minimum(pos, n - 1)], SENTINEL)
-    counts = jnp.diff(pos, append=jnp.int32(n))
-    counts = jnp.where(ucodes == SENTINEL, 0, counts).astype(jnp.int32)
-    ucodes = jnp.where(counts > 0, ucodes, SENTINEL)
-    return ucodes, counts
+    keep, runlen, _m = _sorted_run_survivors(s, 1)
+    return _compact_survivors(s, keep, runlen, n)
 
 
 @jax.jit
@@ -65,37 +62,50 @@ def merge_rle(codes_a, counts_a, codes_b, counts_b):
 
 
 @jax.jit
-def _merge_flat(codes, counts):
-    """Sort (code, count) pairs and sum runs; one compile per input size."""
+def _merge_sorted_runs(codes, counts, lower):
+    """Sort (code, count) pairs and compute gather-free run totals.
+
+    Returns (sorted codes, run totals, keep mask at run ends, survivor
+    count). Run totals: inclusive cumsum minus the cumsum value just
+    before the run's start, propagated to every position with a prefix max
+    — contiguous scans only (see _sorted_run_survivors for why gathers
+    are banned here).
+    """
     codes, counts = jax.lax.sort((codes, counts), num_keys=1)
     n = codes.size
     start = jnp.concatenate([jnp.ones(1, bool), codes[1:] != codes[:-1]])
-    (pos,) = jnp.where(start, size=n, fill_value=n)
+    end = jnp.concatenate([codes[:-1] != codes[1:], jnp.ones(1, bool)])
     csum = jnp.cumsum(counts)
-    end = jnp.minimum(jnp.diff(pos, append=jnp.int32(n)) + pos, n) - 1
-    run_tot = csum[jnp.maximum(end, 0)] - jnp.where(pos > 0, csum[jnp.maximum(pos - 1, 0)], 0)
-    ucodes = jnp.where(pos < n, codes[jnp.minimum(pos, n - 1)], SENTINEL)
-    ucounts = jnp.where((pos < n) & (ucodes != SENTINEL), run_tot, 0)
-    ucodes = jnp.where(ucounts > 0, ucodes, SENTINEL)
-    return ucodes, ucounts.astype(jnp.int32)
+    base = jax.lax.cummax(jnp.where(start, csum - counts, jnp.int32(-1)))
+    run_tot = csum - base
+    keep = end & (run_tot >= lower) & (codes != SENTINEL) & (run_tot > 0)
+    return codes, run_tot.astype(jnp.int32), keep, jnp.sum(keep)
 
 
-def merge_rle_many(parts):
-    """Merge many sorted spectra in ONE sort (vs a pairwise merge tree).
+def merge_rle_many(parts, lower_count: int = 1):
+    """Merge many sorted spectra in ONE sort (vs a pairwise merge tree),
+    compacted on device to the (pow2-bucketed) survivor count.
 
     Pads the concatenation to the next power of two so the jit compiles once
     per size bucket (amortized by the persistent compilation cache).
+    ``lower_count`` > 1 additionally applies the dump threshold during the
+    same pass (only valid when ``parts`` cover ALL of a chromosome's
+    counts).
     """
-    if len(parts) == 1:
+    if len(parts) == 1 and lower_count <= 1:
         return parts[0]
-    codes = jnp.concatenate([p[0] for p in parts])
-    counts = jnp.concatenate([p[1] for p in parts])
+    codes = jnp.concatenate([p[0] for p in parts]) if len(parts) > 1 else parts[0][0]
+    counts = jnp.concatenate([p[1] for p in parts]) if len(parts) > 1 else parts[0][1]
     total = int(codes.size)
     cap = 1 << max(total - 1, 1).bit_length()
     if cap > total:
         codes = jnp.concatenate([codes, jnp.full(cap - total, SENTINEL, codes.dtype)])
         counts = jnp.concatenate([counts, jnp.zeros(cap - total, counts.dtype)])
-    return _merge_flat(codes, counts)
+    s, run_tot, keep, m = _merge_sorted_runs(codes, counts, lower_count)
+    m = int(m)
+    out_cap = max(1 << max(m - 1, 1).bit_length(), 1 << 10)
+    out_cap = min(out_cap, int(s.shape[0]))
+    return _compact_survivors(s, keep, run_tot, out_cap)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "n_pos_words"))
@@ -139,10 +149,54 @@ def extract_codes_batch(words, vwords, k: int, n_pos_words: int):
     return jax.lax.map(one, (words, vwords)).reshape(-1)
 
 
+@jax.jit
+def _sorted_run_survivors(s, lower):
+    """Sorted codes -> (keep mask at run ends, run lengths, survivor count).
+
+    Gather-free run-length encoding: run boundaries are elementwise
+    compares and the distance to each run's start comes from a prefix max
+    (lax.cummax) — contiguous scans only. The where(size=n)+full-width
+    gather formulation costs ~10x the SORT itself on the v5e (measured
+    1.1 s vs 82 ms at 33.5M; tools/bench_count_parts.py).
+    """
+    n = s.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    start = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
+    end = jnp.concatenate([s[:-1] != s[1:], jnp.ones(1, bool)])
+    last_start = jax.lax.cummax(jnp.where(start, iota, -1))
+    runlen = iota - last_start + 1
+    keep = end & (runlen >= lower) & (s != SENTINEL)
+    return keep, runlen, jnp.sum(keep)
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _compact_survivors(s, keep, runlen, cap: int):
+    """One right-sized compaction: survivor codes + counts (cap entries).
+
+    Compaction by SORT, not by jnp.where(size=cap): nonzero(size=) lowers
+    through bincount = a full-length scatter-add plus wide gathers, which
+    costs 270-550 ms at 33.5M on the v5e (tools/bench_count_parts.py);
+    a second key-value sort with non-survivors pushed to SENTINEL followed
+    by a static slice is contiguous-only.
+    """
+    keys = jnp.where(keep, s, SENTINEL)
+    vals = jnp.where(keep, runlen, 0)
+    sk, sv = jax.lax.sort((keys, vals), num_keys=1)
+    out_codes = sk[:cap]
+    out_counts = jnp.where(out_codes != SENTINEL, sv[:cap], 0)
+    return out_codes, out_counts
+
+
+@jax.jit
+def _sort_only(codes):
+    return jnp.sort(codes.reshape(-1))
+
+
 def count_codes_threshold(code_parts, lower_count: int):
-    """Raw code arrays -> host (codes int64-able int32, counts) with
+    """Raw code arrays -> host (codes int32, counts) with
     count >= lower_count, via ONE keys-only sort of the concatenation
-    (pow2-padded so the compile caches per size bucket)."""
+    (pow2-padded so the compile caches per size bucket), scan-based RLE,
+    and a single compaction sized to the survivor count."""
     if not code_parts:  # zero-length chromosome
         return np.empty(0, np.int32), np.empty(0, np.int64)
     codes = code_parts[0] if len(code_parts) == 1 else jnp.concatenate(code_parts)
@@ -150,11 +204,12 @@ def count_codes_threshold(code_parts, lower_count: int):
     cap = 1 << max(total - 1, 1).bit_length()
     if cap > total:
         codes = jnp.concatenate([codes, jnp.full(cap - total, SENTINEL, codes.dtype)])
-    u, c = sort_rle(codes)
-    m = int(count_surviving(c, lower_count))
+    s = _sort_only(codes)
+    keep, runlen, m = _sorted_run_survivors(s, lower_count)
+    m = int(m)
     out_cap = max(1 << max(m - 1, 1).bit_length(), 1 << 10)
-    out_cap = min(out_cap, int(u.shape[0]))
-    uu, cc = threshold_compact(u, c, lower_count, out_cap)
+    out_cap = min(out_cap, int(s.shape[0]))
+    uu, cc = _compact_survivors(s, keep, runlen, out_cap)
     out_c, out_n = compact_host(uu, cc)
     return out_c, out_n.astype(np.int64)
 
@@ -247,13 +302,9 @@ class SpectrumAccumulator:
         thresholding happens after the host merge instead.
         """
         if not self.spilled and lower_count > 1 and self.parts:
-            codes, counts = merge_rle_many(self.parts)
+            u, c = merge_rle_many(self.parts, lower_count)
             self.parts = []
             self.pending = 0
-            m = int(count_surviving(counts, lower_count))
-            cap = max(1 << max(m - 1, 1).bit_length(), 1 << 10)
-            cap = min(cap, int(codes.shape[0]))
-            u, c = threshold_compact(codes, counts, lower_count, cap)
             out_c, out_n = compact_host(u, c)
             return out_c, out_n.astype(np.int64)
         parts = list(self.spilled)

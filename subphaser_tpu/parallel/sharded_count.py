@@ -68,21 +68,17 @@ def _local_count_and_exchange(words, vwords, *, k, n_pos_words, quota, n_dev):
     recv_codes = jax.lax.all_to_all(send_codes, "data", 0, 0, tiled=False)
     recv_counts = jax.lax.all_to_all(send_counts, "data", 0, 0, tiled=False)
     # received: (D, quota) runs from every peer for MY code range -> merge
+    # (scan RLE + sort-based compaction; see ops/count for why
+    # where(size=)+gathers are banned)
+    from subphaser_tpu.ops.count import _compact_survivors, _merge_sorted_runs
+
     flat_codes = recv_codes.reshape(-1)
     flat_counts = recv_counts.reshape(-1)
-    scodes, scounts = jax.lax.sort((flat_codes, flat_counts), num_keys=1)
-    m = scodes.shape[0]
-    start = jnp.concatenate([jnp.ones(1, bool), scodes[1:] != scodes[:-1]])
-    (pos,) = jnp.where(start, size=m, fill_value=m)
-    csum = jnp.cumsum(scounts)
-    end = jnp.minimum(jnp.diff(pos, append=jnp.int32(m)) + pos, m) - 1
-    run_tot = csum[jnp.maximum(end, 0)] - jnp.where(
-        pos > 0, csum[jnp.maximum(pos - 1, 0)], 0
+    s, run_tot, keep, _m = _merge_sorted_runs(flat_codes, flat_counts, 1)
+    out_codes, out_counts = _compact_survivors(
+        s, keep, run_tot, int(flat_codes.shape[0])
     )
-    out_codes = jnp.where(pos < m, scodes[jnp.minimum(pos, m - 1)], SENTINEL)
-    out_counts = jnp.where((pos < m) & (out_codes != SENTINEL), run_tot, 0)
-    out_codes = jnp.where(out_counts > 0, out_codes, SENTINEL)
-    return out_codes, out_counts.astype(jnp.int32), overflow
+    return out_codes, out_counts, overflow
 
 
 def build_sharded_count(mesh: Mesh, *, k: int, n_pos_words: int, tiles_per_dev: int,

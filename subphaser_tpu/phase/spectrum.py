@@ -109,11 +109,13 @@ def count_genome(
             continue
         # fast path: hold the chromosome's raw codes on device and run ONE
         # keys-only sort (per-batch RLE + pair merges re-sort every element
-        # and carry counts through the sort for no benefit)
+        # and carry counts through the sort for no benefit); pair codes
+        # (k > 15) use two int32 arrays, so they fit half the budget
         fast = k <= 15 and n_positions <= device_budget
+        fast_pair = k > 15 and n_positions <= device_budget // 2
         acc = None
         code_parts = []
-        if not fast:
+        if not fast and not fast_pair:
             if k <= 15:
                 acc = SpectrumAccumulator(device_budget=device_budget)
             else:
@@ -140,6 +142,12 @@ def count_genome(
                 from subphaser_tpu.ops.count import extract_codes_batch
 
                 code_parts.append(extract_codes_batch(words, vwords, k, n_pos_words))
+            elif fast_pair:
+                from subphaser_tpu.ops.count_pair import extract_pair_codes_batch
+
+                code_parts.append(
+                    extract_pair_codes_batch(words, vwords, k, n_pos_words)
+                )
             elif k <= 15:
                 if words.ndim == 1:
                     u, c = count_tile(words, vwords, k, n_pos_words)
@@ -155,6 +163,10 @@ def count_genome(
             from subphaser_tpu.ops.count import count_codes_threshold
 
             codes, counts = count_codes_threshold(code_parts, lower_count)
+        elif fast_pair:
+            from subphaser_tpu.ops.count_pair import count_pair_codes_threshold
+
+            codes, counts = count_pair_codes_threshold(code_parts, lower_count)
         else:
             codes, counts = acc.finish(lower_count)
         meter.stop(chrom.length / 1e6)

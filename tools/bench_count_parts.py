@@ -84,6 +84,43 @@ def main():
 
     stages["+threshold_compact"] = s_full
 
+    from subphaser_tpu.ops.count import _sorted_run_survivors, _compact_survivors
+
+    @jax.jit
+    def s_scan(ws, vs, salt):
+        c = codes_of(ws, vs, salt)
+        s = jnp.sort(c)
+        keep, runlen, m = _sorted_run_survivors(s, 2)
+        return jnp.sum(jnp.where(keep, runlen, 0) * w) + m
+
+    stages["codes+sort+scanRLE"] = s_scan
+
+    def compact_stage(cap):
+        @jax.jit
+        def s_cmp(ws, vs, salt):
+            c = codes_of(ws, vs, salt)
+            s = jnp.sort(c)
+            keep, runlen, m = _sorted_run_survivors(s, 2)
+            u, cc = _compact_survivors(s, keep, runlen, cap)
+            wc = w[:cap]
+            return jnp.sum((u & 0xFFFF) * wc) + jnp.sum(cc * wc)
+
+        return s_cmp
+
+    stages["+compact@2^19"] = compact_stage(1 << 19)
+    stages["+compact@2^22"] = compact_stage(1 << 22)
+
+    @jax.jit
+    def s_cummax_only(ws, vs, salt):
+        c = codes_of(ws, vs, salt)
+        s = jnp.sort(c)
+        iota = jnp.arange(s.size, dtype=jnp.int32)
+        start = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
+        last = jax.lax.cummax(jnp.where(start, iota, -1))
+        return jnp.sum(last * w)
+
+    stages["codes+sort+cummax"] = s_cummax_only
+
     mbp = N_TILES * TILE_BASES / 1e6
     for name, fn in stages.items():
         t0 = time.time()
