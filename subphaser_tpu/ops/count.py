@@ -214,6 +214,63 @@ def count_codes_threshold(code_parts, lower_count: int):
     return out_c, out_n.astype(np.int64)
 
 
+def count_codes_async(code_parts, lower_count: int, static_cap: int):
+    """Dispatch the fused count (sort + scan RLE + compaction) WITHOUT
+    blocking: returns device handles (codes, counts, m).
+
+    Uses a STATIC compaction cap so no host sync happens at dispatch time —
+    the caller overlaps several chromosomes' compute with the (slow) host
+    downloads and falls back to the exact two-phase path when m exceeds
+    the cap (count_codes_collect).
+    """
+    if not code_parts:  # zero-length chromosome
+        return None
+    codes = code_parts[0] if len(code_parts) == 1 else jnp.concatenate(code_parts)
+    total = int(codes.size)
+    cap = 1 << max(total - 1, 1).bit_length()
+    if cap > total:
+        codes = jnp.concatenate([codes, jnp.full(cap - total, SENTINEL, codes.dtype)])
+    static_cap = min(static_cap, cap)
+    s = _sort_only(codes)
+    keep, runlen, m = _sorted_run_survivors(s, lower_count)
+    u, c = _compact_survivors(s, keep, runlen, static_cap)
+    return u, c, m
+
+
+@functools.partial(jax.jit, static_argnames=("lo", "hi"))
+def _slice2(u, c, lo: int, hi: int):
+    return jax.lax.slice(u, (lo,), (hi,)), jax.lax.slice(c, (lo,), (hi,))
+
+
+def count_codes_collect(handles, lower_count: int, rebuild_parts=None):
+    """Block on one dispatched count: returns host (codes, counts int64).
+
+    Downloads only a pow2-bucketed prefix of the compacted arrays. When the
+    survivor count overflowed the static cap, recompute exactly via
+    ``rebuild_parts()`` -> count_codes_threshold (rare; repeat-dense
+    chromosomes with low lower_count).
+    """
+    if handles is None:  # zero-length chromosome
+        return np.empty(0, np.int32), np.empty(0, np.int64)
+    u, c, m_dev = handles
+    m = int(m_dev)
+    cap = int(u.shape[0])
+    if m > cap:
+        if rebuild_parts is None:
+            raise RuntimeError(f"survivors {m} exceed static cap {cap}")
+        from subphaser_tpu.utils.log import logger
+
+        logger.info(
+            "Survivors (%d) exceed the async cap (%d); exact recompute", m, cap
+        )
+        return count_codes_threshold(rebuild_parts(), lower_count)
+    sl = max(1 << max(m - 1, 1).bit_length(), 1 << 10)
+    sl = min(sl, cap)
+    uu, cc = _slice2(u, c, 0, sl)
+    out_c, out_n = compact_host(uu, cc)
+    return out_c, out_n.astype(np.int64)
+
+
 def compact_host(codes: np.ndarray, counts: np.ndarray):
     """Drop SENTINEL padding on host."""
     m = np.asarray(codes) != SENTINEL

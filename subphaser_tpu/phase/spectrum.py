@@ -56,9 +56,62 @@ def count_genome(
     process pool (Jellyfish.py:671-676). The host-side result is identical
     to the single-device path, so downstream files are byte-identical.
     """
-    spectra: list[ChromSpectrum] = []
+    from collections import deque
+
+    from subphaser_tpu.ops.count import (
+        count_codes_async,
+        count_codes_collect,
+        extract_codes_batch,
+    )
+
     n_pos_words = tile_bases // 16
+    results: dict[int, ChromSpectrum] = {}
     meter = Throughput("kmer counting", unit="Mbp")
+    counted_mbp = 0.0
+
+    def batches_of(tiles):
+        for lo in range(0, len(tiles), batch_tiles):
+            batch = tiles[lo : lo + batch_tiles]
+            if len(batch) == 1:
+                yield batch[0].words, batch[0].vwords
+                continue
+            words = np.stack([t.words for t in batch])
+            vwords = np.stack([t.vwords for t in batch])
+            if len(batch) < batch_tiles:
+                # pad with empty (all-invalid) tiles to keep one jit shape
+                pad = batch_tiles - len(batch)
+                words = np.concatenate(
+                    [words, np.zeros((pad,) + words.shape[1:], words.dtype)]
+                )
+                vwords = np.concatenate(
+                    [vwords, np.zeros((pad,) + vwords.shape[1:], vwords.dtype)]
+                )
+            yield words, vwords
+
+    def finish_one(ci, chrom, params, ckp_name, codes, counts):
+        total = int(counts.sum())
+        logger.info(
+            "Counted %s: %d distinct k-mers (count >= %d), %d total",
+            chrom.name, codes.size, lower_count, total,
+        )
+        if checkpoint is not None:
+            checkpoint.save(ckp_name, params, codes=codes, counts=counts,
+                            total=total)
+        results[ci] = ChromSpectrum(
+            name=chrom.name, codes=codes, counts=counts, total=total
+        )
+
+    # sliding window of dispatched-but-uncollected chromosomes: compute for
+    # chromosome N+1..N+W overlaps chromosome N's host download (the remote
+    # tunnel makes downloads the e2e bottleneck; jax dispatch is async)
+    window: deque = deque()
+    PIPELINE_W = 3
+
+    def collect_oldest():
+        ci, chrom, params, ckp_name, handles, rebuild = window.popleft()
+        codes, counts = count_codes_collect(handles, lower_count, rebuild)
+        finish_one(ci, chrom, params, ckp_name, codes, counts)
+
     for ci, chrom in enumerate(genome.chroms):
         # keyed on the chromosome CONTENT (not the run's target set) so
         # re-running with a chromosome subset reuses every unchanged
@@ -73,113 +126,102 @@ def count_genome(
         ckp_name = f"spectrum.{chrom.name}"
         if checkpoint is not None and checkpoint.has(ckp_name, params):
             payload = checkpoint.load(ckp_name)
-            spectra.append(
-                ChromSpectrum(
-                    name=chrom.name,
-                    codes=payload["codes"],
-                    counts=payload["counts"],
-                    total=int(payload["total"]),
-                )
+            results[ci] = ChromSpectrum(
+                name=chrom.name,
+                codes=payload["codes"],
+                counts=payload["counts"],
+                total=int(payload["total"]),
             )
             logger.info("Loaded spectrum checkpoint for %s", chrom.name)
             continue
-        meter.start()
-        tiles = [t for t in genome.tiles(k, tile_bases=tile_bases) if t.chrom_index == ci]
+        if counted_mbp == 0.0:
+            meter.start()
+        counted_mbp += chrom.length / 1e6
+        tiles = [t for t in genome.tiles(k, tile_bases=tile_bases)
+                 if t.chrom_index == ci]
         n_positions = len(tiles) * 16 * n_pos_words
+
         if mesh is not None and k <= 15 and mesh.shape.get("data", 1) > 1:
             from subphaser_tpu.parallel.sharded_count import sharded_spectrum
 
+            while window:
+                collect_oldest()
             codes64, counts64 = sharded_spectrum(mesh, tiles, k, n_pos_words)
             keep = counts64 >= lower_count
-            codes, counts = codes64[keep], counts64[keep]
-            meter.stop(chrom.length / 1e6)
-            total = int(counts.sum())
-            logger.info(
-                "Counted %s on %d devices: %d distinct k-mers (count >= %d), "
-                "%d total", chrom.name, mesh.shape["data"], codes.size,
-                lower_count, total,
-            )
-            if checkpoint is not None:
-                checkpoint.save(ckp_name, params, codes=codes, counts=counts,
-                                total=total)
-            spectra.append(
-                ChromSpectrum(name=chrom.name, codes=codes, counts=counts,
-                              total=total)
-            )
+            logger.info("Counted %s on %d devices", chrom.name,
+                        mesh.shape["data"])
+            finish_one(ci, chrom, params, ckp_name, codes64[keep],
+                       counts64[keep])
             continue
+
         # fast path: hold the chromosome's raw codes on device and run ONE
         # keys-only sort (per-batch RLE + pair merges re-sort every element
         # and carry counts through the sort for no benefit); pair codes
         # (k > 15) use two int32 arrays, so they fit half the budget
         fast = k <= 15 and n_positions <= device_budget
         fast_pair = k > 15 and n_positions <= device_budget // 2
-        acc = None
-        code_parts = []
-        if not fast and not fast_pair:
-            if k <= 15:
-                acc = SpectrumAccumulator(device_budget=device_budget)
-            else:
-                from subphaser_tpu.ops.count_pair import PairSpectrumAccumulator
+        if fast:
+            code_parts = [
+                extract_codes_batch(w, v, k, n_pos_words)
+                for w, v in batches_of(tiles)
+            ]
+            handles = count_codes_async(
+                code_parts, lower_count, static_cap=1 << 23
+            )
+            del code_parts
 
-                acc = PairSpectrumAccumulator(device_budget=device_budget)
-        for lo in range(0, len(tiles), batch_tiles):
-            batch = tiles[lo : lo + batch_tiles]
-            if len(batch) == 1:
-                words, vwords = batch[0].words, batch[0].vwords
-            else:
-                words = np.stack([t.words for t in batch])
-                vwords = np.stack([t.vwords for t in batch])
-                if len(batch) < batch_tiles:
-                    # pad with empty (all-invalid) tiles to keep one jit shape
-                    pad = batch_tiles - len(batch)
-                    words = np.concatenate(
-                        [words, np.zeros((pad,) + words.shape[1:], words.dtype)]
-                    )
-                    vwords = np.concatenate(
-                        [vwords, np.zeros((pad,) + vwords.shape[1:], vwords.dtype)]
-                    )
-            if fast:
-                from subphaser_tpu.ops.count import extract_codes_batch
+            def rebuild(ci_local=ci):
+                tiles2 = [t for t in genome.tiles(k, tile_bases=tile_bases)
+                          if t.chrom_index == ci_local]
+                return [extract_codes_batch(w, v, k, n_pos_words)
+                        for w, v in batches_of(tiles2)]
 
-                code_parts.append(extract_codes_batch(words, vwords, k, n_pos_words))
-            elif fast_pair:
-                from subphaser_tpu.ops.count_pair import extract_pair_codes_batch
+            window.append((ci, chrom, params, ckp_name, handles, rebuild))
+            while len(window) > PIPELINE_W:
+                collect_oldest()
+            continue
 
-                code_parts.append(
-                    extract_pair_codes_batch(words, vwords, k, n_pos_words)
-                )
-            elif k <= 15:
+        while window:
+            collect_oldest()
+        if fast_pair:
+            from subphaser_tpu.ops.count_pair import (
+                count_pair_codes_threshold,
+                extract_pair_codes_batch,
+            )
+
+            code_parts = [
+                extract_pair_codes_batch(w, v, k, n_pos_words)
+                for w, v in batches_of(tiles)
+            ]
+            codes, counts = count_pair_codes_threshold(code_parts, lower_count)
+            finish_one(ci, chrom, params, ckp_name, codes, counts)
+            continue
+        if k <= 15:
+            acc = SpectrumAccumulator(device_budget=device_budget)
+            for words, vwords in batches_of(tiles):
                 if words.ndim == 1:
                     u, c = count_tile(words, vwords, k, n_pos_words)
                 else:
                     u, c = count_tile_batch(words, vwords, k, n_pos_words)
                 acc.add(u, c)
-            else:
-                from subphaser_tpu.ops.count_pair import count_tile_batch_pair
+        else:
+            from subphaser_tpu.ops.count_pair import (
+                PairSpectrumAccumulator,
+                count_tile_batch_pair,
+            )
 
+            acc = PairSpectrumAccumulator(device_budget=device_budget)
+            for words, vwords in batches_of(tiles):
                 hi, lo_, c = count_tile_batch_pair(words, vwords, k, n_pos_words)
                 acc.add(hi, lo_, c)
-        if fast:
-            from subphaser_tpu.ops.count import count_codes_threshold
+        codes, counts = acc.finish(lower_count)
+        finish_one(ci, chrom, params, ckp_name, codes, counts)
 
-            codes, counts = count_codes_threshold(code_parts, lower_count)
-        elif fast_pair:
-            from subphaser_tpu.ops.count_pair import count_pair_codes_threshold
-
-            codes, counts = count_pair_codes_threshold(code_parts, lower_count)
-        else:
-            codes, counts = acc.finish(lower_count)
-        meter.stop(chrom.length / 1e6)
-        total = int(counts.sum())
-        logger.info(
-            "Counted %s: %d distinct k-mers (count >= %d), %d total",
-            chrom.name, codes.size, lower_count, total,
-        )
-        if checkpoint is not None:
-            checkpoint.save(ckp_name, params, codes=codes, counts=counts, total=total)
-        spectra.append(
-            ChromSpectrum(name=chrom.name, codes=codes, counts=counts, total=total)
-        )
+    while window:
+        collect_oldest()
+    if counted_mbp > 0:
+        meter.stop(counted_mbp)
+    spectra = [results[ci] for ci in range(len(genome.chroms))]
     if meter.seconds > 0:
         meter.log()
     return spectra

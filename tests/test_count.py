@@ -77,6 +77,66 @@ def test_accumulator_matches_oracle():
     assert np.all(np.diff(codes) > 0)
 
 
+def test_count_codes_async_matches_threshold():
+    import jax.numpy as jnp
+
+    from subphaser_tpu.ops.count import (
+        count_codes_async,
+        count_codes_collect,
+        count_codes_threshold,
+    )
+
+    rng = np.random.default_rng(7)
+    parts = [
+        jnp.asarray(rng.integers(0, 200, 3000, dtype=np.int32)),
+        jnp.asarray(rng.integers(0, 200, 1500, dtype=np.int32)),
+    ]
+    for lower in (1, 2, 5):
+        want_c, want_n = count_codes_threshold(parts, lower)
+        got_c, got_n = count_codes_collect(
+            count_codes_async(parts, lower, static_cap=1 << 12), lower
+        )
+        np.testing.assert_array_equal(got_c, want_c)
+        np.testing.assert_array_equal(got_n, want_n)
+
+
+def test_count_codes_async_overflow_recomputes():
+    import jax.numpy as jnp
+
+    from subphaser_tpu.ops.count import (
+        count_codes_async,
+        count_codes_collect,
+        count_codes_threshold,
+    )
+
+    rng = np.random.default_rng(8)
+    arr = rng.integers(0, 5000, 6000, dtype=np.int32)
+    parts = [jnp.asarray(arr)]
+    want_c, want_n = count_codes_threshold(parts, 1)
+    assert want_c.size > 64  # survivors overflow the tiny cap below
+    handles = count_codes_async(parts, 1, static_cap=64)
+    calls = []
+
+    def rebuild():
+        calls.append(1)
+        return [jnp.asarray(arr)]
+
+    got_c, got_n = count_codes_collect(handles, 1, rebuild)
+    assert calls  # the exact-recompute fallback ran
+    np.testing.assert_array_equal(got_c, want_c)
+    np.testing.assert_array_equal(got_n, want_n)
+    # without a rebuild callback the overflow must be loud, not wrong
+    with pytest.raises(RuntimeError):
+        count_codes_collect(count_codes_async(parts, 1, static_cap=64), 1)
+
+
+def test_count_codes_async_empty():
+    from subphaser_tpu.ops.count import count_codes_async, count_codes_collect
+
+    c, n = count_codes_collect(count_codes_async([], 1, static_cap=64), 1)
+    assert c.size == 0 and n.size == 0
+
+
 def test_merge_host_and_compact():
     a = np.array([2, 5, 9], dtype=np.int32), np.array([1, 2, 3], dtype=np.int64)
     b = np.array([5, 9, 11], dtype=np.int32), np.array([10, 1, 1], dtype=np.int64)
