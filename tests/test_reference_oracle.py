@@ -1,0 +1,235 @@
+"""Parity tests that drive the REFERENCE'S OWN CODE as the oracle.
+
+Everything else in the suite checks our implementations against
+re-derivations of the reference math; these tests import the actual
+reference modules from /root/reference (read-only) and compare outputs on
+shared random inputs. The reference's unavailable leaf deps (the `fisher`
+C extension, statsmodels, Bio, xopen) are stubbed with scipy/builtins
+equivalents — the logic under test (filter gates, enrichment gates,
+clamp order, ratio/NaN semantics) is all reference code.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "subphaser")),
+    reason="reference checkout not present",
+)
+
+
+def _install_stubs():
+    """Stub the reference's unavailable leaf imports (scipy-backed)."""
+    import scipy.stats as sps
+
+    if "fisher" not in sys.modules:
+        fisher = types.ModuleType("fisher")
+
+        class _PV:
+            __slots__ = ("right_tail",)
+
+            def __init__(self, right_tail):
+                self.right_tail = right_tail
+
+        def pvalue(a, b, c, d):
+            # independent exact path (scipy's own fisher_exact machinery)
+            p = sps.fisher_exact([[a, b], [c, d]], alternative="greater")[1]
+            return _PV(float(p))
+
+        fisher.pvalue = pvalue
+        sys.modules["fisher"] = fisher
+
+    if "statsmodels" not in sys.modules:
+        sm = types.ModuleType("statsmodels")
+        sm_stats = types.ModuleType("statsmodels.stats")
+        sm_mt = types.ModuleType("statsmodels.stats.multitest")
+
+        def multipletests(pvals, method="fdr_bh", alpha=0.05):
+            assert method == "fdr_bh"
+            adj = sps.false_discovery_control(np.asarray(pvals), method="bh")
+            return adj <= alpha, adj, None, None
+
+        sm_mt.multipletests = multipletests
+        sm_stats.multitest = sm_mt
+        sm.stats = sm_stats
+        sys.modules["statsmodels"] = sm
+        sys.modules["statsmodels.stats"] = sm_stats
+        sys.modules["statsmodels.stats.multitest"] = sm_mt
+
+    if "Bio" not in sys.modules:
+        bio = types.ModuleType("Bio")
+        bio_seq = types.ModuleType("Bio.Seq")
+        _COMP = str.maketrans("ACGTacgt", "TGCAtgca")
+
+        class Seq(str):
+            def reverse_complement(self):
+                return Seq(self.translate(_COMP)[::-1])
+
+        bio_seq.Seq = Seq
+        bio_seqio = types.ModuleType("Bio.SeqIO")
+        bio.Seq = bio_seq
+        bio.SeqIO = bio_seqio
+        sys.modules["Bio"] = bio
+        sys.modules["Bio.Seq"] = bio_seq
+        sys.modules["Bio.SeqIO"] = bio_seqio
+
+    if "xopen" not in sys.modules:
+        xo = types.ModuleType("xopen")
+        xo.xopen = open
+        sys.modules["xopen"] = xo
+
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    _install_stubs()
+    from subphaser import Jellyfish as ref_jellyfish  # noqa: E402
+    from subphaser import Stats as ref_stats  # noqa: E402
+
+    return types.SimpleNamespace(stats=ref_stats, jellyfish=ref_jellyfish)
+
+
+def _random_counts(rng, rows, cols, big_col=None):
+    counts = rng.integers(0, 2000, size=(rows, cols)).astype(np.int64)
+    counts[rng.random((rows, cols)) < 0.3] = 0
+    if big_col is not None:
+        # push one column's total past MAX_INT//10 to exercise clamp order
+        counts[:, big_col] += 300_000_000 // rows
+    return counts
+
+
+def test_fisher_test_parity_small(ref):
+    from subphaser_tpu.ops.stats_host import fisher_enrich_pvals
+
+    rng = np.random.default_rng(0)
+    counts = _random_counts(rng, 40, 4)
+    ours = fisher_enrich_pvals(counts)
+    total = [int(t) for t in counts.sum(axis=0)]
+    for r in range(counts.shape[0]):
+        theirs = ref.stats.fisher_test([int(v) for v in counts[r]], total)
+        np.testing.assert_allclose(ours[r], theirs, rtol=1e-9, atol=1e-300)
+
+
+def test_fisher_test_parity_clamped(ref):
+    """Column totals beyond MAX_INT//10: the clamp-order fix (ADVICE r1)."""
+    from subphaser_tpu.ops.stats_host import fisher_enrich_pvals
+
+    rng = np.random.default_rng(1)
+    counts = _random_counts(rng, 12, 3, big_col=1)
+    assert counts.sum(axis=0).max() > ref.stats.MAX_INT
+    ours = fisher_enrich_pvals(counts)
+    total = [int(t) for t in counts.sum(axis=0)]
+    for r in range(counts.shape[0]):
+        theirs = ref.stats.fisher_test([int(v) for v in counts[r]], total)
+        np.testing.assert_allclose(ours[r], theirs, rtol=1e-9)
+
+
+@pytest.mark.parametrize("seed,min_ratio", [(2, 0.5), (3, 0.9)])
+def test_enrich_parity(ref, seed, min_ratio):
+    """Reference Stats.enrich (sig/key/pval/enrich one-hot) row-by-row."""
+    from subphaser_tpu.phase.enrich import enrich_rows
+
+    rng = np.random.default_rng(seed)
+    rows, sgs = 60, 3
+    counts = rng.integers(0, 300, size=(rows, sgs)).astype(np.int64)
+    # plant clearly-enriched rows and all-zero-ish rows
+    counts[: rows // 3, 0] += 2000
+    counts[rows // 3 : rows // 2, 2] += 50
+    colnames = [f"SG{i+1}" for i in range(sgs)]
+    rownames = [f"row{r}" for r in range(rows)]
+
+    theirs = list(
+        ref.stats.enrich(
+            [list(map(int, row)) for row in counts],
+            colnames=colnames,
+            rownames=rownames,
+            ncpu=1,
+            min_ratio=min_ratio,
+            max_pval=0.05,
+        )
+    )
+    ours = enrich_rows(
+        counts, colnames, rownames, max_pval=0.05, min_ratio=min_ratio
+    )
+    assert len(theirs) == len(ours)
+    for t, o in zip(theirs, ours):
+        assert bool(t.sig) == o.sig, (t.rowname, t.pval, o.pval)
+        assert (t.key if t.sig else None) == o.key
+        np.testing.assert_allclose(o.pval, t.pval, rtol=1e-8, atol=1e-300)
+        np.testing.assert_array_equal(o.enrich, t.enrich)
+        np.testing.assert_allclose(o.ratios, np.asarray(t.ratios), rtol=1e-12)
+
+
+@pytest.mark.parametrize(
+    "seed,by_count,baseline,min_fold,ratio",
+    [
+        (4, False, 1, 2.0, 1.0),
+        (5, False, -1, 2.0, 0.5),
+        (6, True, 1, 1.5, 1.0),
+        (7, False, 1, 100.0, 1.0),  # nothing passes
+    ],
+)
+def test_filter_kmer_parity(ref, seed, by_count, baseline, min_fold, ratio):
+    """Reference Jellyfish._filter_kmer keep/drop decisions per k-mer."""
+    from subphaser_tpu.ops.filter import fold_votes_host, make_group_spec
+
+    rng = np.random.default_rng(seed)
+    labels = ["A1", "B1", "A2", "B2", "C2", "X"]
+    # two homoeologous sets (the second with a comma group) + a singleton
+    sgs = [
+        [["A1"], ["B1"]],
+        [["A2"], ["B2", "C2"]],
+        [["X"]],
+    ]
+    li = {c: i for i, c in enumerate(labels)}
+    sg_indices = [[[li[c] for c in grp] for grp in s] for s in sgs]
+    spec = make_group_spec(sg_indices, len(labels))
+
+    n = 150
+    counts = rng.integers(0, 60, size=(n, len(labels))).astype(np.int64)
+    counts[rng.random((n, len(labels))) < 0.4] = 0
+    lengths = rng.integers(10_000, 20_000, size=len(labels)).astype(np.int64)
+    d_lens = dict(zip(labels, [int(v) for v in lengths]))
+    min_freq, max_freq = 20, 250
+
+    theirs = []
+    for r in range(n):
+        out = ref.jellyfish._filter_kmer(
+            (
+                f"km{r}",
+                [int(v) for v in counts[r]],
+                d_lens,
+                sgs,
+                False,  # outfig
+                by_count,
+                min_freq,
+                max_freq,
+                min_fold,
+                baseline,
+                ratio,
+            )
+        )
+        theirs.append(out[1] is not False)
+    fmask = fold_votes_host(
+        counts,
+        lengths,
+        spec,
+        min_fold=min_fold,
+        ratio=ratio,
+        baseline=baseline,
+        by_count=by_count,
+    )
+    tot = counts.sum(axis=1)
+    ours = fmask & (tot >= min_freq) & (tot <= max_freq)
+    np.testing.assert_array_equal(ours, np.array(theirs))
+    assert 0 < n  # sanity: parametrizations with no survivors still compare
