@@ -192,6 +192,21 @@ def _sort_only(codes):
     return jnp.sort(codes.reshape(-1))
 
 
+def _concat_pow2(code_parts):
+    """Concat parts + SENTINEL pad to the next pow2 in ONE eager concat.
+
+    One N-ary concatenate keeps this a single cached program per part-size
+    structure; a parts-concat followed by a pad-concat would be two remote
+    compiles (~50s each through the tunnel), and the warm-up thread
+    (phase/warmup) predicts part structures to precompile exactly this."""
+    total = sum(int(p.size) for p in code_parts)
+    cap = 1 << max(total - 1, 1).bit_length()
+    parts = list(code_parts)
+    if cap > total:
+        parts.append(jnp.full(cap - total, SENTINEL, code_parts[0].dtype))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+
 def count_codes_threshold(code_parts, lower_count: int):
     """Raw code arrays -> host (codes int32, counts) with
     count >= lower_count, via ONE keys-only sort of the concatenation
@@ -199,11 +214,7 @@ def count_codes_threshold(code_parts, lower_count: int):
     and a single compaction sized to the survivor count."""
     if not code_parts:  # zero-length chromosome
         return np.empty(0, np.int32), np.empty(0, np.int64)
-    codes = code_parts[0] if len(code_parts) == 1 else jnp.concatenate(code_parts)
-    total = int(codes.size)
-    cap = 1 << max(total - 1, 1).bit_length()
-    if cap > total:
-        codes = jnp.concatenate([codes, jnp.full(cap - total, SENTINEL, codes.dtype)])
+    codes = _concat_pow2(code_parts)
     s = _sort_only(codes)
     keep, runlen, m = _sorted_run_survivors(s, lower_count)
     m = int(m)
@@ -225,28 +236,34 @@ def count_codes_async(code_parts, lower_count: int, static_cap: int):
     """
     if not code_parts:  # zero-length chromosome
         return None
-    codes = code_parts[0] if len(code_parts) == 1 else jnp.concatenate(code_parts)
-    total = int(codes.size)
-    cap = 1 << max(total - 1, 1).bit_length()
-    if cap > total:
-        codes = jnp.concatenate([codes, jnp.full(cap - total, SENTINEL, codes.dtype)])
-    static_cap = min(static_cap, cap)
+    codes = _concat_pow2(code_parts)
+    static_cap = min(static_cap, int(codes.size))
     s = _sort_only(codes)
     keep, runlen, m = _sorted_run_survivors(s, lower_count)
     u, c = _compact_survivors(s, keep, runlen, static_cap)
     return u, c, m
 
 
-@functools.partial(jax.jit, static_argnames=("lo", "hi"))
-def _slice2(u, c, lo: int, hi: int):
-    return jax.lax.slice(u, (lo,), (hi,)), jax.lax.slice(c, (lo,), (hi,))
+DOWNLOAD_CHUNK = 1 << 19
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _slice_chunk(u, c, start, chunk: int):
+    """Fixed-size window at a DYNAMIC start: one cached program covers every
+    download length (a static per-length slice would be a fresh ~50s remote
+    compile per survivor-count bucket)."""
+    return (
+        jax.lax.dynamic_slice(u, (start,), (chunk,)),
+        jax.lax.dynamic_slice(c, (start,), (chunk,)),
+    )
 
 
 def count_codes_collect(handles, lower_count: int, rebuild_parts=None):
     """Block on one dispatched count: returns host (codes, counts int64).
 
-    Downloads only a pow2-bucketed prefix of the compacted arrays. When the
-    survivor count overflowed the static cap, recompute exactly via
+    Downloads only ceil(m / DOWNLOAD_CHUNK) fixed-size windows of the
+    compacted arrays (entries past m are SENTINEL/0). When the survivor
+    count overflowed the static cap, recompute exactly via
     ``rebuild_parts()`` -> count_codes_threshold (rare; repeat-dense
     chromosomes with low lower_count).
     """
@@ -264,9 +281,14 @@ def count_codes_collect(handles, lower_count: int, rebuild_parts=None):
             "Survivors (%d) exceed the async cap (%d); exact recompute", m, cap
         )
         return count_codes_threshold(rebuild_parts(), lower_count)
-    sl = max(1 << max(m - 1, 1).bit_length(), 1 << 10)
-    sl = min(sl, cap)
-    uu, cc = _slice2(u, c, 0, sl)
+    chunk = min(DOWNLOAD_CHUNK, cap)
+    n_chunks = max(1, -(-m // chunk))
+    # dispatch every window first (async), then download in order
+    parts = [
+        _slice_chunk(u, c, jnp.int32(i * chunk), chunk) for i in range(n_chunks)
+    ]
+    uu = np.concatenate([np.asarray(p[0]) for p in parts])
+    cc = np.concatenate([np.asarray(p[1]) for p in parts])
     out_c, out_n = compact_host(uu, cc)
     return out_c, out_n.astype(np.int64)
 

@@ -166,29 +166,29 @@ class Pipeline:
         # host link can absorb: a spill transfers the whole padded spectrum
         # through the tunnel, so budgets must stay large enough that only
         # chromosomes beyond ~budget bases ever spill.
-        device_budget = 1 << 28
+        # budget policy is shared with the compile warm-up thread so its
+        # shape predictions match production exactly (phase/warmup.py):
+        # reference auto-low-memory above 3 Gb (__main__.py:395-398),
+        # -max_memory caps the device merge budget (codes int32 + counts
+        # int64 per spilled entry)
+        from subphaser_tpu.phase.warmup import plan_budgets
+
         max_mem_bytes = _parse_mem(self.max_memory)
         if max_mem_bytes and self.low_mem is None and genome_size * 3 > max_mem_bytes:
             logger.info(
                 "-max_memory %s < ~3x genome size; enabling low-memory mode",
                 self.max_memory,
             )
+        self.tile_bases, device_budget, low_mem_eff, batch_tiles = plan_budgets(
+            genome_size, self.tile_bases, self.low_mem, self.max_memory
+        )
+        if low_mem_eff:
             self.low_mem = True
-        if self.low_mem or (self.low_mem is None and genome_size > 3e9):
-            # reference auto-switches low-memory mode above 3 Gb
-            # (__main__.py:395-398): smaller tiles + merge budget
-            self.tile_bases = min(self.tile_bases, 1 << 22)
-            device_budget = 1 << 27
             logger.info("Low-memory mode: tile=%d, device_budget=%d",
                         self.tile_bases, device_budget)
-        if max_mem_bytes:
-            # cap the device merge budget so a worst-case host spill
-            # (codes int32 + counts int64 per entry) fits the memory bound
-            cap = max(1 << 22, int(max_mem_bytes // 24))
-            if cap < device_budget:
-                device_budget = cap
-                logger.info("-max_memory %s: device_budget=%d entries",
-                            self.max_memory, device_budget)
+        if max_mem_bytes and device_budget < (1 << 27 if low_mem_eff else 1 << 28):
+            logger.info("-max_memory %s: device_budget=%d entries",
+                        self.max_memory, device_budget)
 
         # multi-device: data-parallel 1-D mesh over every addressable chip
         # (the reference's process/grid axis, RunCmdsMP.py:38-217, mapped to
@@ -209,10 +209,9 @@ class Pipeline:
             )
 
         logger.info("###Step: Kmer Count")
-        # batching tiles per device call costs one big extra compile
-        # (~minutes through the remote tunnel) but removes thousands of
-        # dispatches on pod-scale genomes — only worth it above ~1 Gb
-        batch_tiles = 4 if genome_size > 1e9 else 1
+        # batch_tiles (from plan_budgets): batching tiles per device call
+        # costs one big extra compile (~minutes through the remote tunnel)
+        # but removes thousands of dispatches on pod-scale genomes
         spectra = count_genome(
             genome, self.k, lower_count=self.lower_count,
             tile_bases=self.tile_bases, device_budget=device_budget,
@@ -348,6 +347,15 @@ class Pipeline:
             genome = PackedGenome.load(cache)
             logger.info("Loaded packed genome checkpoint (%d chromosomes)", len(genome))
         else:
+            # compile the big counting programs WHILE the host packs: the
+            # remote first-compile (~minutes) hides behind the FASTA parse
+            from subphaser_tpu.phase.warmup import start_count_warmup
+
+            start_count_warmup(
+                self.genomes, self.labels, self.targets, self.k,
+                self.tile_bases, self.low_mem, self.max_memory,
+                self.lower_count,
+            )
             genome, got = PackedGenome.from_fasta_files(
                 self.genomes, self.labels, self.targets, workers=self.ncpu
             )
