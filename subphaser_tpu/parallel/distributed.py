@@ -51,3 +51,39 @@ def host_tile_slice(n_tiles: int) -> slice:
     n = jax.process_count()
     per = -(-n_tiles // n)
     return slice(p * per, min((p + 1) * per, n_tiles))
+
+
+def allgather_spectrum(codes, counts, cap: int, lower_count: int = 1):
+    """Merge per-process partial spectra into the global spectrum.
+
+    Every process contributes a sorted sparse (codes, counts) over ITS tile
+    slice; the arrays are padded to ``cap`` and exchanged with
+    ``process_allgather`` (the collective replacement for the reference's
+    parent-process dict merge of per-chromosome dump files,
+    Jellyfish.py:446-458). The count threshold is applied only AFTER the
+    global merge — a k-mer below ``lower_count`` on every host can still
+    pass globally. Returns host (codes int32, counts int64), identical on
+    all processes.
+    """
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    from subphaser_tpu.ops.count import SENTINEL, merge_host
+
+    codes = np.asarray(codes)
+    counts = np.asarray(counts)
+    if codes.size > cap:
+        raise ValueError(f"local spectrum ({codes.size}) exceeds cap ({cap})")
+    pc = np.full(cap, SENTINEL, np.int32)
+    pn = np.zeros(cap, np.int64)
+    pc[: codes.size] = codes
+    pn[: codes.size] = counts
+    gc = np.asarray(multihost_utils.process_allgather(pc))
+    gn = np.asarray(multihost_utils.process_allgather(pn))
+    parts = []
+    for r in range(gc.shape[0]):
+        m = gc[r] != SENTINEL
+        parts.append((gc[r][m], gn[r][m]))
+    mc, mn = merge_host(parts)
+    keep = mn >= lower_count
+    return mc[keep], mn[keep]

@@ -1,0 +1,78 @@
+"""2-process jax.distributed CPU test: sliced counting + allgather merge.
+
+Launches two real OS processes that initialize jax.distributed against a
+local coordinator, split the genome's tiles between them
+(host_tile_slice), and reconstruct the global k-mer spectrum with
+allgather_spectrum. The merged result must equal a single-process count of
+the full genome — the multi-host story the reference covers with DRMAA
+array jobs + filesystem merge (RunCmdsMP.py:38-217, Jellyfish.py:446-458).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_count(tmp_path):
+    worker = os.path.join(os.path.dirname(__file__), "dist_worker.py")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(worker)))
+    port = _free_port()
+    out = tmp_path / "merged.npz"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (repo, "/root/.axon_site", env.get("PYTHONPATH")) if p
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, f"127.0.0.1:{port}", str(r), "2",
+             str(out)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for r in range(2)
+    ]
+    outputs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outputs.append(stdout.decode(errors="replace"))
+    for p, text in zip(procs, outputs):
+        assert p.returncode == 0, f"worker failed:\n{text[-3000:]}"
+    assert out.exists(), "rank 0 wrote no output"
+
+    # single-process oracle over the same deterministic genome
+    sys.path.insert(0, os.path.dirname(worker))
+    try:
+        import dist_worker
+    finally:
+        sys.path.pop(0)
+    from subphaser_tpu.ops.count import (
+        count_codes_threshold,
+        extract_codes_batch,
+    )
+
+    genome = dist_worker.make_genome()
+    parts = [
+        extract_codes_batch(
+            t.words, t.vwords, dist_worker.K, dist_worker.TILE_BASES // 16
+        )
+        for t in genome.tiles(dist_worker.K, tile_bases=dist_worker.TILE_BASES)
+    ]
+    codes, counts = count_codes_threshold(parts, dist_worker.LOWER)
+    got = np.load(out)
+    assert np.array_equal(got["codes"], codes)
+    assert np.array_equal(got["counts"], counts)
