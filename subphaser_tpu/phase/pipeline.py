@@ -273,6 +273,19 @@ class Pipeline:
             )
         logger.info("Wrote %s", sg_kmers)
 
+        if not self.just_core and self.k <= 15 and self._map_use_dense():
+            # compile the big mapping program WHILE figures render: the
+            # remote first-compile otherwise serializes in front of the
+            # mapping loop (phase/warmup.py rationale)
+            from subphaser_tpu.phase.warmup import pad_sig_pow2, start_map_warmup
+
+            codes_p, sgs_p = pad_sig_pow2(sig.codes, sig.sg)
+            self._map_warm = start_map_warmup(
+                codes_p, sgs_p, self.k, self.tile_bases,
+                self._map_batch(), len(self.sg_names),
+                nbins_for_tile(self.tile_bases, BIN_SIZE), BIN_SIZE,
+            )
+
         self._plot_core_figures(res, cluster, sig)
 
         if self.just_core:
@@ -371,6 +384,14 @@ class Pipeline:
             raise ValueError("0 chromosome remained after filtering. Please check the inputs.")
         return genome, genome.names
 
+    def _map_use_dense(self) -> bool:
+        # membership via dense 4^k table only pays off when the genome is
+        # large enough to amortize building it (4 GB at k=15)
+        return self.genome.total_bases() >= 50_000_000
+
+    def _map_batch(self) -> int:
+        return 4 if self.genome.total_bases() > 1e9 else 1
+
     def _map_genome_bins(self, sig: SigKmers) -> BinAccumulator:
         logger.info("Mapping %d subgenome-specific kmers to genome bins", len(sig) // 2)
         n_sg = len(self.sg_names)
@@ -396,25 +417,34 @@ class Pipeline:
         sizes = [c.length for c in self.genome.chroms]
         acc = BinAccumulator(sizes, BIN_SIZE, n_sg)
         nbt = nbins_for_tile(self.tile_bases, BIN_SIZE)
-        codes = np.ascontiguousarray(sig.codes)
-        sgs = np.ascontiguousarray(sig.sg)
+        # pow2-pad the significant-kmer arrays: the map program's shape then
+        # depends only on the bucket, not the exact sig count, so one
+        # compiled program serves any run (a fresh remote compile per exact
+        # m costs ~a minute through the tunnel)
+        from subphaser_tpu.phase.warmup import join_map_warmup, pad_sig_pow2
+
+        codes, sgs = pad_sig_pow2(sig.codes, sig.sg)
         n_pos_words = self.tile_bases // 16
         # membership: measured on chip, vectorized searchsorted runs at only
         # ~8 M lookups/s while a direct gather from a dense 4^k table does
         # ~67 M/s — build the (4^k x int32) table when the genome is large
         # enough to amortize its cost (4 GB at k=15)
-        use_dense = self.genome.total_bases() >= 50_000_000
+        use_dense = self._map_use_dense()
         if use_dense:
             from subphaser_tpu.ops.mapbins_dense import (
                 build_sig_table,
                 map_tiles_batch_dense,
             )
 
-            table = build_sig_table(codes, self.k)
+            # the warm-up thread (launched while figures rendered) built
+            # the real table already and pre-compiled the map program
+            table = join_map_warmup(getattr(self, "_map_warm", None))
+            if table is None:
+                table = build_sig_table(codes, self.k)
         else:
             from subphaser_tpu.ops.mapbins import map_tiles_batch
         tiles = list(self.genome.tiles(self.k, tile_bases=self.tile_bases))
-        batch = 4 if self.genome.total_bases() > 1e9 else 1
+        batch = self._map_batch()
         mesh = getattr(self, "mesh", None)
         if mesh is not None:
             # data-shard the tile batch across the mesh; the membership
@@ -428,6 +458,21 @@ class Pipeline:
             batch -= batch % n_dev
             shard_w = NamedSharding(mesh, P("data", None))
             shard_s = NamedSharding(mesh, P("data"))
+        # dispatch-ahead window: jax dispatch is async, so keeping a few
+        # batches in flight overlaps device compute with the host-side
+        # stack/upload of the next batch (the same overlap the counting
+        # loop uses; the per-batch np.asarray sync otherwise serializes)
+        from collections import deque as _deque
+
+        map_window: _deque = _deque()
+
+        def _collect_map():
+            bt_w, bcs_w, hm_w = map_window.popleft()
+            bcs_np = np.asarray(bcs_w)
+            for i, t in enumerate(bt_w):
+                acc.add(t.chrom_index, bcs_np[i], t.start // BIN_SIZE,
+                        hm_w if i == 0 else None)
+
         for lo in range(0, len(tiles), batch):
             bt = tiles[lo : lo + batch]
             words = np.stack([t.words for t in bt])
@@ -460,10 +505,11 @@ class Pipeline:
                     k=self.k, n_pos_words=n_pos_words, bin_size=BIN_SIZE,
                     n_sg=n_sg, nbins_tile=nbt,
                 )
-            bcs = np.asarray(bcs)
-            for i, t in enumerate(bt):
-                acc.add(t.chrom_index, bcs[i], t.start // BIN_SIZE,
-                        hitmask if i == 0 else None)
+            map_window.append((bt, bcs, hitmask))
+            while len(map_window) > 2:
+                _collect_map()
+        while map_window:
+            _collect_map()
         meter.stop(self.genome.total_bases() / 1e6)
         meter.log()
         total = max(len(sig), 1)

@@ -122,15 +122,14 @@ def _warm(genome_files, prefixes, targets, k, tile_bases, low_mem, max_memory,
 
     t0 = time.time()
     try:
+        import os
+
         import jax
         import jax.numpy as jnp
+        import numpy as np
 
         from subphaser_tpu.io.genome import tile_words_for
-        from subphaser_tpu.ops.count import (
-            count_codes_async,
-            extract_codes_batch,
-        )
-        from subphaser_tpu.ops.kmer import SENTINEL
+        from subphaser_tpu.ops.count import count_codes_async, count_codes_collect, extract_codes_batch
 
         lengths = scan_fasta_lengths(genome_files, prefixes, targets)
         genome_size = sum(lengths)
@@ -142,20 +141,43 @@ def _warm(genome_files, prefixes, targets, k, tile_bases, low_mem, max_memory,
         )
         if not structures:
             return
+        # SALT every input per process: the remote runtime caches repeated
+        # identical executions, so a constant-filled warm-up is answered
+        # from the server's execution cache WITHOUT loading/compiling the
+        # program — and the first real chromosome then pays the ~minutes of
+        # server-side program load this warm-up exists to hide (measured:
+        # salted warm 1.9s steady vs 181s first real execution unsalted).
+        salt = int.from_bytes(os.urandom(4), "little")
         n_words = tile_words_for(tile_bases, k)
         n_pos_words = tile_bases // 16
+        rng = np.random.default_rng(salt)
         # tile-code extraction programs (single-tile and stacked-batch)
-        w1 = jnp.zeros(n_words, jnp.int32)
-        extract_codes_batch(w1, w1, k, n_pos_words).block_until_ready()
+        w1 = rng.integers(0, 1 << 31, size=n_words, dtype=np.int32)
+        extract_codes_batch(jnp.asarray(w1), jnp.asarray(w1), k,
+                            n_pos_words).block_until_ready()
         if batch_tiles > 1:
-            wb = jnp.zeros((batch_tiles, n_words), jnp.int32)
-            extract_codes_batch(wb, wb, k, n_pos_words).block_until_ready()
+            wb = rng.integers(0, 1 << 31, size=(batch_tiles, n_words),
+                              dtype=np.int32)
+            extract_codes_batch(jnp.asarray(wb), jnp.asarray(wb), k,
+                                n_pos_words).block_until_ready()
         # the big per-chromosome concat/sort/RLE/compact programs, one per
-        # distinct part structure (each structure is its own concat program)
+        # distinct part structure (each structure is its own concat program).
+        # Host-side salted fill (a device-side fill would add its own small
+        # programs, each a fresh ~50s remote compile).
+        biggest = max(sum(s) for s in structures)
+        base = (np.arange(biggest, dtype=np.int64) * 2654435761 + salt) % (
+            1 << 30
+        )
+        base = base.astype(np.int32)
         for structure in structures:
-            parts = [jnp.full(sz, SENTINEL, jnp.int32) for sz in structure]
+            ofs = 0
+            parts = []
+            for sz in structure:
+                parts.append(jnp.asarray(base[ofs : ofs + sz]))
+                ofs += sz
             handles = count_codes_async(parts, lower_count, static_cap)
-            handles[2].block_until_ready()
+            # collect end-to-end: also warms the download-window program
+            count_codes_collect(handles, lower_count)
         logger.info(
             "Warm-compiled counting programs for %d part structure(s) "
             "(padded sizes %s) in %.0fs (overlapped with packing)",
@@ -165,6 +187,100 @@ def _warm(genome_files, prefixes, targets, k, tile_bases, low_mem, max_memory,
         )
     except Exception as e:  # a missed warm-up must never break the run
         logger.debug("Compile warm-up skipped: %s", e)
+
+
+def pad_sig_pow2(codes, sgs):
+    """Pow2-pad significant-kmer arrays (codes -> SENTINEL, sg -> 0).
+
+    SENTINEL pad codes scatter out-of-bounds in the dense 4^k table
+    (dropped) and sort last for searchsorted, so they never match a real
+    forward code; the map program's shape then depends only on the pow2
+    bucket of the sig count, keeping one compiled program per bucket."""
+    import numpy as np
+
+    from subphaser_tpu.ops.kmer import SENTINEL
+
+    codes = np.ascontiguousarray(codes)
+    sgs = np.ascontiguousarray(sgs)
+    m = codes.shape[0]
+    cap = 1 << max(m - 1, 1).bit_length()
+    if cap > m:
+        codes = np.concatenate([codes, np.full(cap - m, SENTINEL, codes.dtype)])
+        sgs = np.concatenate([sgs, np.zeros(cap - m, sgs.dtype)])
+    return codes, sgs
+
+
+def start_map_warmup(
+    codes, sgs, k: int, tile_bases: int, batch: int, n_sg: int,
+    nbins_tile: int, bin_size: int,
+):
+    """Build the dense sig table and run one SALTED map batch in a thread.
+
+    Launched as soon as the significant k-mer set is known, so the map
+    program's remote compile overlaps the figure/file-writing phase
+    instead of serializing in front of the mapping loop. The table it
+    builds is the REAL table (from the padded sig codes) and is handed to
+    the mapping step via ``join_map_warmup`` — no duplicate 4-GB table.
+    """
+    import threading as _threading
+
+    holder: dict = {}
+
+    def _run():
+        import time
+
+        t0 = time.time()
+        try:
+            import os
+
+            import jax.numpy as jnp
+            import numpy as np
+
+            from subphaser_tpu.io.genome import tile_words_for
+            from subphaser_tpu.ops.mapbins_dense import (
+                build_sig_table,
+                map_tiles_batch_dense,
+            )
+
+            salt = int.from_bytes(os.urandom(4), "little")
+            rng = np.random.default_rng(salt)
+            table = build_sig_table(jnp.asarray(codes), k)
+            n_words = tile_words_for(tile_bases, k)
+            shape = (batch, n_words) if batch > 1 else (n_words,)
+            w = jnp.asarray(rng.integers(0, 1 << 31, size=shape, dtype=np.int32))
+            v = jnp.asarray(rng.integers(0, 1 << 31, size=shape, dtype=np.int32))
+            starts = (
+                jnp.zeros(batch, jnp.int32) + jnp.int32(salt % bin_size)
+                if batch > 1
+                else jnp.int32(salt % bin_size)
+            )
+            bcs, _hm = map_tiles_batch_dense(
+                w, v, table, jnp.asarray(sgs), starts,
+                k=k, n_pos_words=tile_bases // 16, bin_size=bin_size,
+                n_sg=n_sg, nbins_tile=nbins_tile,
+            )
+            bcs.block_until_ready()
+            holder["table"] = table
+            logger.info(
+                "Warm-compiled mapping program (m=%d, batch=%d) in %.0fs "
+                "(overlapped with cluster/figures)",
+                len(codes), batch, time.time() - t0,
+            )
+        except Exception as e:  # a missed warm-up must never break the run
+            logger.debug("Map warm-up skipped: %s", e)
+
+    t = _threading.Thread(target=_run, daemon=True, name="map-compile-warmup")
+    t.start()
+    holder["thread"] = t
+    return holder
+
+
+def join_map_warmup(warm, timeout: float = 600.0):
+    """Wait for a map warm-up and return its sig table (None if it failed)."""
+    if warm is None:
+        return None
+    warm["thread"].join(timeout=timeout)
+    return warm.get("table")
 
 
 def start_count_warmup(
