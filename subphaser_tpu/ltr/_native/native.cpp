@@ -243,6 +243,203 @@ int sp_refine_ltr(const uint8_t* seq, int64_t n, const int32_t* seed_i,
 }
 
 // ---------------------------------------------------------------------------
+// ltr_finder-style structural refinement (second detector).
+//
+// Distinct paradigm from sp_refine_ltr: candidates arrive as COLINEAR SEED
+// CHAINS (sp_chain_anchors over direct-repeat seed pairs — tolerates
+// accumulated indel drift between the two LTR copies, which the
+// diagonal-cluster detector splits), and acceptance is gated on a composite
+// STRUCTURAL score, the signals ltr_finder reports per record (reference
+// LTR.py:715-725 parses TSR/PBS/PPT/strand/score columns):
+//   - TG..CA terminal dinucleotides on both LTRs (boundary-adjusted)
+//   - target-site duplication (TSD), optional (scored, not required)
+//   - PBS: primer-binding site complementary to the tRNA-iMet 3' end
+//     (canonical plant/animal PBS motif TGGTATCAGAGC) just inside the
+//     element after the left LTR
+//   - PPT: polypurine tract (>=12 purines in a 15 bp window) immediately
+//     before the right LTR
+// Strand is inferred from the orientation the PBS/PPT signals are found in.
+// ---------------------------------------------------------------------------
+struct FinderOut {
+  int32_t start;      // element start (0-based, inclusive)
+  int32_t end;        // element end (0-based, exclusive)
+  int32_t lltr_len;
+  int32_t rltr_len;
+  double similarity;  // percent
+  int32_t tsd_len;
+  int32_t score;      // structural signals found (0..4)
+  int32_t flags;      // bit0 TG..CA, bit1 TSD, bit2 PBS, bit3 PPT
+  int32_t strand;     // +1 / -1 / 0 (undetermined)
+};
+
+// nearest offset d (|d| <= vic) with the dinucleotide (b0,b1) at pos+d;
+// INT32_MIN when absent. pos indexes the FIRST base of the dinucleotide.
+static int find_dinuc(const uint8_t* seq, int64_t n, int64_t pos, int vic,
+                      uint8_t b0, uint8_t b1) {
+  for (int a = 0; a <= vic; ++a) {
+    for (int sgn = 0; sgn < 2; ++sgn) {
+      int d = sgn ? -a : a;
+      if (sgn && a == 0) continue;
+      int64_t p = pos + d;
+      if (p < 0 || p + 1 >= n) continue;
+      if (seq[p] == b0 && seq[p + 1] == b1) return d;
+    }
+  }
+  return INT32_MIN;
+}
+
+// best (#matching bases) placement of motif[0..mlen) inside seq[w0, w1)
+static int motif_best_matches(const uint8_t* seq, int64_t n, int64_t w0,
+                              int64_t w1, const uint8_t* motif, int mlen) {
+  int best = 0;
+  if (w0 < 0) w0 = 0;
+  if (w1 > n) w1 = n;
+  for (int64_t s = w0; s + mlen <= w1; ++s) {
+    int m = 0;
+    for (int x = 0; x < mlen; ++x)
+      if (seq[s + x] == motif[x]) ++m;
+    if (m > best) best = m;
+  }
+  return best;
+}
+
+// max purine (A=0/G=2) count over 15 bp windows in seq[w0, w1);
+// pyr != 0 counts pyrimidines (C=1/T=3) instead (minus-strand PPT)
+static int tract_best(const uint8_t* seq, int64_t n, int64_t w0, int64_t w1,
+                      int pyr) {
+  if (w0 < 0) w0 = 0;
+  if (w1 > n) w1 = n;
+  const int W = 15;
+  int best = 0, cur = 0;
+  for (int64_t p = w0; p < w1; ++p) {
+    uint8_t b = seq[p];
+    int hit = pyr ? (b == 1 || b == 3) : (b == 0 || b == 2);
+    cur += hit;
+    if (p - w0 >= W) {
+      uint8_t o = seq[p - W];
+      cur -= pyr ? (o == 1 || o == 3) : (o == 0 || o == 2);
+    }
+    if (cur > best) best = cur;
+  }
+  return best;
+}
+
+int sp_finder_ltr(const uint8_t* seq, int64_t n, const int64_t* ls_arr,
+                  const int64_t* le_arr, const int64_t* rs_arr,
+                  const int64_t* re_arr, int64_t n_cand,
+                  const LtrParams* prm, int32_t min_score, FinderOut* out,
+                  int64_t out_cap) {
+  // PBS motif: complement of the tRNA-iMet 3' acceptor end, the primer of
+  // most plant/animal LTR retrotransposons (TGGTATCAGAGC)
+  static const uint8_t PBS[12] = {3, 2, 2, 3, 0, 3, 1, 0, 2, 0, 2, 1};
+  // reverse complement of PBS for minus-strand elements (GCTCTGATACCA)
+  static const uint8_t PBS_RC[12] = {2, 1, 3, 1, 3, 2, 0, 3, 0, 1, 1, 0};
+  const int PBS_WIN = 30, PBS_MIN = 10, PPT_WIN = 50, PPT_MIN = 12;
+
+  std::vector<FinderOut> cands;
+  for (int64_t c = 0; c < n_cand; ++c) {
+    int64_t ls = ls_arr[c], le = le_arr[c];
+    int64_t rs = rs_arr[c], re = re_arr[c];
+    if (ls < 0 || re > n || le <= ls || re <= rs) continue;
+    // X-drop extension outward from the chained core
+    int left = extend_ungapped(seq, (int)n, (int)ls - 1, (int)rs - 1, -1,
+                               prm->xdrop);
+    int right = extend_ungapped(seq, (int)n, (int)le, (int)re, +1, prm->xdrop);
+    ls -= left; rs -= left; le += right; re += right;
+
+    int flags = 0;
+    // TG..CA terminal adjustment: both LTR copies start with TG, end with CA
+    int d_ls = find_dinuc(seq, n, ls, prm->vic, 3, 2);
+    int d_rs = find_dinuc(seq, n, rs, prm->vic, 3, 2);
+    int d_le = find_dinuc(seq, n, le - 2, prm->vic, 1, 0);
+    int d_re = find_dinuc(seq, n, re - 2, prm->vic, 1, 0);
+    if (d_ls != INT32_MIN) ls += d_ls;
+    if (d_rs != INT32_MIN) rs += d_rs;
+    if (d_le != INT32_MIN) le += d_le;
+    if (d_re != INT32_MIN) re += d_re;
+    if (d_ls != INT32_MIN && d_rs != INT32_MIN && d_le != INT32_MIN &&
+        d_re != INT32_MIN)
+      flags |= 1;
+
+    int64_t lltr = le - ls, rltr = re - rs;
+    if (lltr < prm->minlenltr || lltr > prm->maxlenltr) continue;
+    if (rltr < prm->minlenltr || rltr > prm->maxlenltr) continue;
+    int64_t dist = rs - ls;
+    if (dist < prm->mindistltr || dist > prm->maxdistltr) continue;
+    if (rs < le) continue;  // the two LTRs must not overlap
+
+    int band = (int)std::llabs(rltr - lltr) + 20;
+    double sim =
+        100.0 * banded_identity(seq + ls, (int)lltr, seq + rs, (int)rltr, band);
+    if (sim < prm->similar) continue;
+
+    // TSD (optional here — a scored signal, unlike harvest semantics)
+    int tsd = 0;
+    if (prm->maxtsd > 0) {
+      for (int t = prm->maxtsd; t >= prm->mintsd && !tsd; --t) {
+        if (ls - t < 0 || re + t > n) continue;
+        bool ok = true;
+        for (int x = 0; x < t; ++x) {
+          uint8_t a = seq[ls - t + x], b = seq[re + x];
+          if (a >= 4 || a != b) { ok = false; break; }
+        }
+        if (ok) tsd = t;
+      }
+      if (tsd) flags |= 2;
+    }
+
+    // PBS / PPT in both orientations -> strand
+    int pbs_p = motif_best_matches(seq, n, le, le + PBS_WIN, PBS, 12) >= PBS_MIN;
+    int pbs_m =
+        motif_best_matches(seq, n, rs - PBS_WIN, rs, PBS_RC, 12) >= PBS_MIN;
+    int ppt_p = tract_best(seq, n, rs - PPT_WIN, rs, 0) >= PPT_MIN;
+    int ppt_m = tract_best(seq, n, le, le + PPT_WIN, 1) >= PPT_MIN;
+    int splus = pbs_p + ppt_p, sminus = pbs_m + ppt_m;
+    int strand = splus > sminus ? 1 : (sminus > splus ? -1 : 0);
+    int pbs = strand >= 0 ? pbs_p : pbs_m;
+    int ppt = strand >= 0 ? ppt_p : ppt_m;
+    if (pbs) flags |= 4;
+    if (ppt) flags |= 8;
+
+    int score = ((flags & 1) != 0) + ((flags & 2) != 0) + pbs + ppt;
+    if (score < min_score) continue;
+
+    FinderOut o;
+    o.start = (int32_t)ls; o.end = (int32_t)re;
+    o.lltr_len = (int32_t)lltr; o.rltr_len = (int32_t)rltr;
+    o.similarity = std::round(sim * 100.0) / 100.0;
+    o.tsd_len = tsd; o.score = score; o.flags = flags; o.strand = strand;
+    cands.push_back(o);
+  }
+
+  // dedupe heavily-overlapping candidates: keep highest score, then similarity
+  std::sort(cands.begin(), cands.end(), [](const FinderOut& a,
+                                           const FinderOut& b) {
+    if (a.start != b.start) return a.start < b.start;
+    if (a.score != b.score) return a.score > b.score;
+    return a.similarity > b.similarity;
+  });
+  std::vector<FinderOut> kept;
+  for (const auto& c : cands) {
+    bool dup = false;
+    for (auto it = kept.rbegin(); it != kept.rend(); ++it) {
+      if (it->end <= c.start) break;
+      int64_t ovl = std::min((int64_t)it->end, (int64_t)c.end) -
+                    std::max((int64_t)it->start, (int64_t)c.start);
+      int64_t mlen = std::min(it->end - it->start, c.end - c.start);
+      if (ovl * 100 >= mlen * 90) { dup = true; break; }
+    }
+    if (!dup) kept.push_back(c);
+  }
+  int64_t n_out = 0;
+  for (const auto& c : kept) {
+    if (n_out >= out_cap) break;
+    out[n_out++] = c;
+  }
+  return (int)n_out;
+}
+
+// ---------------------------------------------------------------------------
 // colinear anchor chaining (minimap2-flavored DP) for homoeologous blocks.
 // Anchors: (qpos, tpos, len) sorted by qpos. Returns chain segments as
 // (q_start, q_end, t_start, t_end, n_anchors, score) sextuples.

@@ -204,9 +204,12 @@ def detect_ltr_chrom(
 
 
 def parse_finder_options(options: str | None) -> dict:
-    """Map `-ltr_finder_options` flags (-D/-d/-L/-l/-M, reference
-    __main__.py:141-145) onto the same native detector parameters."""
+    """Map `-ltr_finder_options` flags (-D/-d/-L/-l/-M/-w, reference
+    __main__.py:141-145) onto the finder detector parameters. ``-w`` is the
+    structural-quality gate (reference default ``-w 2``): the minimum number
+    of TG..CA/TSD/PBS/PPT signals a candidate must show."""
     params = dict(DEFAULT_PARAMS)
+    params["min_score"] = 2
     if not options:
         return params
     toks = options.split()
@@ -215,6 +218,7 @@ def parse_finder_options(options: str | None) -> dict:
         "-d": ("mindistltr", int),
         "-L": ("maxlenltr", int),
         "-l": ("minlenltr", int),
+        "-w": ("min_score", int),
     }
     for i, t in enumerate(toks):
         if t in keymap and i + 1 < len(toks):
@@ -231,6 +235,105 @@ def parse_finder_options(options: str | None) -> dict:
     return params
 
 
+_FLAG_NAMES = ((1, "TGCA"), (2, "TSD"), (4, "PBS"), (8, "PPT"))
+
+
+def detect_finder_chrom(
+    chrom,
+    params: dict,
+    tile_bases: int = 1 << 22,
+    overlap: int = 1 << 15,
+    seed_cap: int = 1 << 18,
+) -> list[LTRRecord]:
+    """Finder-style detection on one packed chromosome.
+
+    A second, structurally distinct detector (reference runs `ltr_finder`
+    alongside LTRharvest and merges, LTR.py:33-61): candidates come from
+    COLINEAR SEED CHAINS (native minimap2-flavored DP over the same device
+    seed pairs — tolerant of indel drift between the LTR copies that splits
+    the harvest-style diagonal clusters), then each chain is gated on the
+    structural signals ltr_finder scores: TG..CA termini, TSD, PBS (tRNA
+    primer site), PPT (polypurine tract), with strand inferred from the
+    PBS/PPT orientation (reference record columns at LTR.py:715-725)."""
+    k = params["k"]
+    min_score = int(params.get("min_score", 2))
+    n_pos = tile_bases + overlap
+    n_pos_words = n_pos // 16
+    n_words = n_pos_words + 1
+    prm = {key: params[key] for key in DEFAULT_PARAMS}
+    records: list[LTRRecord] = []
+    for start in range(0, chrom.length, tile_bases):
+        w0 = start // 16
+        words = np.zeros(n_words, dtype=np.int32)
+        vwords = np.zeros(n_words, dtype=np.int32)
+        avail = min(n_words, chrom.packed.shape[0] - w0)
+        if avail <= 0:
+            continue
+        words[:avail] = chrom.packed[w0 : w0 + avail]
+        vwords[:avail] = chrom.vmask[w0 : w0 + avail]
+        cap = seed_cap
+        while True:
+            si, sj, n_total = seed_pairs(
+                words, vwords, k=k, n_pos_words=n_pos_words,
+                mindist=prm["mindistltr"], maxdist=prm["maxdistltr"],
+                cap=cap,
+            )
+            n_total = int(n_total)
+            if n_total <= cap:
+                break
+            if cap >= (1 << 23):
+                logger.warning(
+                    "LTR finder seed cap overflow on %s @%d: %d pairs > cap "
+                    "%d; repeat-dense region, candidates may be incomplete",
+                    chrom.name, start, n_total, cap,
+                )
+                break
+            cap *= 4
+        si = np.asarray(si)
+        sj = np.asarray(sj)
+        m = si >= 0
+        si, sj = si[m], sj[m]
+        if si.size == 0:
+            continue
+        chains = native.chain_anchors(
+            si.astype(np.int64), sj.astype(np.int64),
+            np.full(si.size, k, np.int32), strand=1,
+            max_gap=prm["max_gap"], min_chain_len=k, min_chain_anchors=2,
+        )
+        if chains.size == 0:
+            continue
+        codes, valid = unpack_words(words, vwords, n_pos)
+        seq = np.where(valid.astype(bool), codes, np.uint8(4)).astype(np.uint8)
+        cands = native.finder_ltr(
+            seq, chains["q_start"], chains["q_end"], chains["t_start"],
+            chains["t_end"], prm, min_score=min_score,
+        )
+        for c in cands:
+            gstart = int(c["start"]) + start  # 0-based
+            if gstart >= start + tile_bases and start + tile_bases < chrom.length:
+                continue  # owned by the next tile (dedupe across overlaps)
+            gend = int(c["end"]) + start  # 0-based exclusive
+            if gend > chrom.length:
+                continue
+            flags = int(c["flags"])
+            records.append(
+                LTRRecord(
+                    seq_id=chrom.name,
+                    start=gstart + 1,
+                    end=gend,
+                    lltr=int(c["lltr_len"]),
+                    rltr=int(c["rltr_len"]),
+                    similarity=float(c["similarity"]),
+                    tsd_len=int(c["tsd_len"]),
+                    strand={1: "+", -1: "-"}.get(int(c["strand"]), "?"),
+                    score=int(c["score"]),
+                    motifs=",".join(nm for b, nm in _FLAG_NAMES if flags & b)
+                    or None,
+                )
+            )
+    return records
+
+
 def detect_ltr(
     genome: PackedGenome,
     options: str | None = None,
@@ -238,23 +341,24 @@ def detect_ltr(
     finder_options: str | None = None,
     **kw,
 ) -> list[LTRRecord]:
-    """Run the native detector with one parameterization per requested
-    detector style and merge (the reference merges LTRharvest + ltr_finder
-    outputs the same way, LTR.py:80-142); duplicates resolve downstream."""
+    """Run the requested detectors and merge their outputs (the reference
+    merges LTRharvest + ltr_finder the same way, LTR.py:80-142): the
+    harvest-style diagonal-cluster detector, the finder-style chain+structure
+    detector, or both; duplicates resolve downstream."""
     detectors = detectors or ["ltr_harvest"]
-    param_sets = []
+    runs = []
     if "ltr_harvest" in detectors:
-        param_sets.append(parse_harvest_options(options))
+        runs.append((detect_ltr_chrom, parse_harvest_options(options)))
     if "ltr_finder" in detectors:
-        param_sets.append(parse_finder_options(finder_options))
-    if not param_sets:
-        param_sets.append(parse_harvest_options(options))
+        runs.append((detect_finder_chrom, parse_finder_options(finder_options)))
+    if not runs:
+        runs.append((detect_ltr_chrom, parse_harvest_options(options)))
     all_records: list[LTRRecord] = []
     for chrom in genome.chroms:
         seen: set = set()
         recs: list[LTRRecord] = []
-        for params in param_sets:
-            for r in detect_ltr_chrom(chrom, params, **kw):
+        for fn, params in runs:
+            for r in fn(chrom, params, **kw):
                 if r.key not in seen:
                     seen.add(r.key)
                     recs.append(r)

@@ -48,6 +48,20 @@ class LtrOut(ctypes.Structure):
     ]
 
 
+class FinderOut(ctypes.Structure):
+    _fields_ = [
+        ("start", ctypes.c_int32),
+        ("end", ctypes.c_int32),
+        ("lltr_len", ctypes.c_int32),
+        ("rltr_len", ctypes.c_int32),
+        ("similarity", ctypes.c_double),
+        ("tsd_len", ctypes.c_int32),
+        ("score", ctypes.c_int32),
+        ("flags", ctypes.c_int32),
+        ("strand", ctypes.c_int32),
+    ]
+
+
 class ChainOut(ctypes.Structure):
     _fields_ = [
         ("q_start", ctypes.c_int64),
@@ -92,6 +106,14 @@ def load():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64, ctypes.POINTER(LtrParams), ctypes.POINTER(LtrOut),
             ctypes.c_int64,
+        ]
+        lib.sp_finder_ltr.restype = ctypes.c_int
+        lib.sp_finder_ltr.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.POINTER(LtrParams), ctypes.c_int32,
+            ctypes.POINTER(FinderOut), ctypes.c_int64,
         ]
         lib.sp_chain_anchors.restype = ctypes.c_int
         lib.sp_chain_anchors.argtypes = [
@@ -167,6 +189,41 @@ def refine_ltr(seq_codes: np.ndarray, seed_i: np.ndarray, seed_j: np.ndarray,
     for i in range(n):
         res[i] = (out[i].start, out[i].end, out[i].lltr_len, out[i].rltr_len,
                   out[i].similarity, out[i].tsd_len)
+    return res
+
+
+def finder_ltr(seq_codes: np.ndarray, ls: np.ndarray, le: np.ndarray,
+               rs: np.ndarray, re: np.ndarray, params: dict,
+               min_score: int = 2, out_cap: int = 1 << 16) -> np.ndarray:
+    """ltr_finder-style structural refinement of chained candidate spans.
+
+    Each candidate is a colinear seed chain: left copy [ls, le), right copy
+    [rs, re). Returns a structured array with the signals the reference's
+    LTRFinderRecord carries (TSD/PBS/PPT/strand/score, LTR.py:715-725)."""
+    lib = load()
+    seq = np.ascontiguousarray(seq_codes, dtype=np.uint8)
+    a_ls = np.ascontiguousarray(ls, dtype=np.int64)
+    a_le = np.ascontiguousarray(le, dtype=np.int64)
+    a_rs = np.ascontiguousarray(rs, dtype=np.int64)
+    a_re = np.ascontiguousarray(re, dtype=np.int64)
+    prm = LtrParams(**params)
+    out = (FinderOut * out_cap)()
+    i64p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
+    n = lib.sp_finder_ltr(
+        _u8ptr(seq), seq.size, i64p(a_ls), i64p(a_le), i64p(a_rs), i64p(a_re),
+        a_ls.size, ctypes.byref(prm), min_score, out, out_cap,
+    )
+    dtype = np.dtype(
+        [("start", np.int32), ("end", np.int32), ("lltr_len", np.int32),
+         ("rltr_len", np.int32), ("similarity", np.float64),
+         ("tsd_len", np.int32), ("score", np.int32), ("flags", np.int32),
+         ("strand", np.int32)]
+    )
+    res = np.zeros(n, dtype=dtype)
+    for i in range(n):
+        res[i] = (out[i].start, out[i].end, out[i].lltr_len, out[i].rltr_len,
+                  out[i].similarity, out[i].tsd_len, out[i].score,
+                  out[i].flags, out[i].strand)
     return res
 
 

@@ -32,6 +32,10 @@ class LTRRecord:
     domains: str | None = None
     sg: str | None = None
     exchange: str | None = None
+    # finder-style structural signals (reference LTRFinderRecord carries
+    # TSR/PBS/PPT/strand/score columns, LTR.py:715-725)
+    score: int | None = None
+    motifs: str | None = None  # comma-joined subset of TGCA,TSD,PBS,PPT
 
     @property
     def element_len(self) -> int:
