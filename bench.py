@@ -54,8 +54,6 @@ def bench_tpu(words, vwords):
     enable_compilation_cache()
 
     n_pos_words = TILE_BASES // 16
-    n_total = N_TILES * 16 * n_pos_words
-    iota = jnp.arange(n_total, dtype=jnp.uint32)
     CAP = 1 << 22  # generous survivor cap (lower_count=2 on random tiles)
 
     @jax.jit
@@ -79,7 +77,10 @@ def bench_tpu(words, vwords):
         s = jnp.sort(codes)
         keep, runlen, _m = _sorted_run_survivors(s, 2)
         u, c = _compact_survivors(s, keep, runlen, CAP)
-        wc = iota[:CAP]
+        # position-weighted checksum; iota built IN the jit (a closed-over
+        # host arange is baked into the program as a constant — at 2^27
+        # that is a 0.5 GB compile upload the tunnel rejects, HTTP 413)
+        wc = jax.lax.iota(jnp.uint32, CAP)
         return jnp.sum(u.astype(jnp.uint32) * wc) + jnp.sum(
             c.astype(jnp.uint32) * wc
         )
@@ -87,17 +88,29 @@ def bench_tpu(words, vwords):
     ws = jax.device_put(words)
     vs = jax.device_put(vwords)
     log(f"devices: {jax.devices()}")
+    # the salt BASE must differ per invocation, not just per iteration:
+    # the remote runtime caches executions by (program, input values), and
+    # a fixed salt sequence replays earlier runs' results at ~0.2 ms
+    # (measured: 205,757 "Mbp/s" on a rerun — pure cache, no compute)
+    import os as _os
+
+    base = int.from_bytes(_os.urandom(3), "little")
     t0 = time.time()
-    step(ws, vs, jnp.int32(0)).block_until_ready()
+    first = int(step(ws, vs, jnp.int32(base)))
     log(f"compile+first run: {time.time() - t0:.1f}s")
     for i in range(WARMUP - 1):
-        step(ws, vs, jnp.int32(i + 1)).block_until_ready()
+        int(step(ws, vs, jnp.int32(base + 1 + i)))
+    # block_until_ready does NOT block through the remote tunnel (measured
+    # 0.4 ms "iterations"); honest timing requires forcing the scalar to
+    # host EVERY iteration, and chaining the next salt on the previous
+    # checksum serializes the executions data-dependently
     t0 = time.time()
+    out = first
     for i in range(ITERS):
-        out = step(ws, vs, jnp.int32(100 + i)).block_until_ready()
+        out = int(step(ws, vs, jnp.int32((out + i) & 0x7FFFFFFF)))
     dt = (time.time() - t0) / ITERS
     mbp = N_TILES * TILE_BASES / 1e6
-    log(f"TPU: {mbp / dt:.1f} Mbp/s ({dt * 1e3:.1f} ms per {mbp:.0f} Mbp batch), checksum={int(out)}")
+    log(f"TPU: {mbp / dt:.1f} Mbp/s ({dt * 1e3:.1f} ms per {mbp:.0f} Mbp batch), checksum={out}")
     return mbp / dt
 
 
