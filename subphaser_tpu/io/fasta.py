@@ -63,6 +63,41 @@ def iter_fasta(path: str) -> Iterator[tuple[str, str, np.ndarray]]:
         yield name, desc, np.frombuffer(body, dtype=np.uint8)
 
 
+def iter_fasta_raw(path: str) -> Iterator[tuple[str, str, np.ndarray]]:
+    """Yield (id, description, RAW body uint8 view — newlines/CR included).
+
+    Zero-copy variant of :func:`iter_fasta` for the native packer
+    (ltr/native.pack_body skips newline bytes in its single pass): record
+    bodies are views into the one file buffer, so no per-record strip copy
+    or split copy is made. Offsets come from C-speed ``bytes.find`` scans.
+    """
+    f = open(path, "rb")
+    magic = f.read(2)
+    f.seek(0)
+    if magic == b"\x1f\x8b":
+        f = gzip.open(f, "rb")
+    with f:
+        data = f.read()
+    buf = np.frombuffer(data, dtype=np.uint8)
+    pos = data.find(b">")
+    while pos >= 0:
+        eol = data.find(b"\n", pos)
+        if eol < 0:
+            header = data[pos + 1 :].strip(b"\r")
+            body = buf[len(data) :]
+            nxt = -1
+        else:
+            header = data[pos + 1 : eol].strip(b"\r")
+            nxt = data.find(b"\n>", eol)
+            end = len(data) if nxt < 0 else nxt + 1
+            body = buf[eol + 1 : end]
+        parts = header.decode().split(None, 1)
+        name = parts[0] if parts else ""
+        desc = parts[1] if len(parts) > 1 else ""
+        yield name, desc, body
+        pos = -1 if nxt < 0 else nxt + 1
+
+
 def _iter_fasta_slow(data: bytes) -> Iterator[tuple[str, str, np.ndarray]]:
     name = None
     desc = ""

@@ -21,9 +21,24 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from subphaser_tpu.io.encoding import BASES_PER_WORD, encode_bases, pack_words
-from subphaser_tpu.io.fasta import iter_fasta
+from subphaser_tpu.io.fasta import iter_fasta_raw
 
 DEFAULT_TILE_BASES = 1 << 23  # 8.4 Mb of k-mer start positions per tile
+
+_native_pack = None  # resolved once; False when the native lib is unavailable
+
+
+def _get_native_pack():
+    global _native_pack
+    if _native_pack is None:
+        try:
+            from subphaser_tpu.ltr import native
+
+            native.load()
+            _native_pack = native.pack_body
+        except Exception:  # no g++ / load failure: numpy fallback
+            _native_pack = False
+    return _native_pack
 
 
 @dataclass
@@ -38,6 +53,17 @@ class PackedChromosome:
         codes, valid = encode_bases(seq_bytes)
         packed, vmask = pack_words(codes, valid)
         return cls(name=name, length=int(seq_bytes.shape[0]), packed=packed, vmask=vmask)
+
+    @classmethod
+    def from_raw_body(cls, name: str, raw: np.ndarray) -> "PackedChromosome":
+        """Pack a RAW record body (newlines/CR still embedded) in one native
+        pass (ltr/native.pack_body); numpy fallback strips + packs."""
+        pack = _get_native_pack()
+        if pack:
+            packed, vmask, n = pack(raw)
+            return cls(name=name, length=n, packed=packed, vmask=vmask)
+        body = raw.tobytes().replace(b"\n", b"").replace(b"\r", b"")
+        return cls.from_bytes(name, np.frombuffer(body, dtype=np.uint8))
 
     @classmethod
     def from_str(cls, name: str, seq: str) -> "PackedChromosome":
@@ -145,8 +171,11 @@ class PackedGenome:
         got: dict[str, str] = {}
 
         def selected():
+            # bodies are RAW views (newlines embedded) into one file buffer;
+            # the packer skips newline bytes, so true base length for the
+            # min_size gate needs the newline count subtracted
             for path, prefix in zip(genome_files, prefixes):
-                for rid, _desc, seq in iter_fasta(path):
+                for rid, _desc, raw in iter_fasta_raw(path):
                     old_id, pref_id = rid, f"{prefix}{rid}"
                     if targets:
                         if pref_id in targets:
@@ -160,24 +189,31 @@ class PackedGenome:
                     else:
                         if chr_mark and not re.search(chr_mark, rid, re.I):
                             continue
-                        if min_size and seq.shape[0] < min_size:
-                            continue
+                        if min_size:
+                            nl = int(np.count_nonzero(raw == 10)) + int(
+                                np.count_nonzero(raw == 13)
+                            )
+                            if raw.shape[0] - nl < min_size:
+                                continue
                         new_id = pref_id
                         got[new_id] = new_id
-                    yield new_id, seq
+                    yield new_id, raw
 
         if workers is None:
             workers = min(os.cpu_count() or 1, 8)
         if workers <= 1:
-            for new_id, seq in selected():
-                g.chroms.append(PackedChromosome.from_bytes(new_id, seq))
+            for new_id, raw in selected():
+                g.chroms.append(PackedChromosome.from_raw_body(new_id, raw))
             return g, got
         # bounded pipeline: keep at most 2*workers raw sequences in flight so
-        # peak host memory stays ~O(workers * chrom), not O(genome)
+        # peak host memory stays ~O(workers * chrom), not O(genome); the
+        # native packer releases the GIL, so threads scale
         pending: list = []
         with cf.ThreadPoolExecutor(max_workers=workers) as ex:
-            for new_id, seq in selected():
-                pending.append(ex.submit(PackedChromosome.from_bytes, new_id, seq))
+            for new_id, raw in selected():
+                pending.append(
+                    ex.submit(PackedChromosome.from_raw_body, new_id, raw)
+                )
                 while len(pending) > 2 * workers:
                     g.chroms.append(pending.pop(0).result())
             for fut in pending:

@@ -716,4 +716,61 @@ int sp_banded_align_ops(const uint8_t* a, int la, const uint8_t* b, int lb,
   return cnt;
 }
 
+// ---------------------------------------------------------------------------
+// sp_pack_body: single-pass FASTA record body -> 2-bit packed words.
+//
+// Replaces the host-side numpy packing pipeline (io/encoding.encode_bases +
+// pack_words + the newline-strip copy), which makes four full passes over
+// each chromosome; the reference leaves this to Biopython line parsing
+// (reference Seqs.py:27-71). `body` is the raw record body INCLUDING
+// newlines/CR (skipped here, so no strip copy is ever made). Layout matches
+// io/encoding.py: 16 bases per int32 word, base i in bits [2i, 2i+2),
+// validity bit i = 1 iff unambiguous ACGT (case-insensitive). Trailing
+// partial words are zero-padded/invalid.
+//
+// `packed` / `vmask` must hold at least (n + 15) / 16 words (an upper bound,
+// since newline bytes only shrink the base count). Returns the number of
+// bases written.
+// ---------------------------------------------------------------------------
+int64_t sp_pack_body(const uint8_t* body, int64_t n, int32_t* packed,
+                     int32_t* vmask) {
+  static uint8_t code_lut[256];
+  static uint8_t valid_lut[256];
+  static bool lut_init = false;
+  if (!lut_init) {
+    std::memset(code_lut, 0, sizeof(code_lut));
+    std::memset(valid_lut, 0, sizeof(valid_lut));
+    const char* bases = "ACGT";
+    for (int i = 0; i < 4; ++i) {
+      code_lut[(uint8_t)bases[i]] = (uint8_t)i;
+      code_lut[(uint8_t)(bases[i] + 32)] = (uint8_t)i;
+      valid_lut[(uint8_t)bases[i]] = 1;
+      valid_lut[(uint8_t)(bases[i] + 32)] = 1;
+    }
+    lut_init = true;
+  }
+  uint32_t word = 0, vbits = 0;
+  int shift = 0;
+  int64_t nbases = 0, w = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    uint8_t ch = body[i];
+    if (ch == '\n' || ch == '\r') continue;
+    word |= (uint32_t)code_lut[ch] << (2 * shift);
+    vbits |= (uint32_t)valid_lut[ch] << shift;
+    ++nbases;
+    if (++shift == 16) {
+      packed[w] = (int32_t)word;
+      vmask[w] = (int32_t)vbits;
+      ++w;
+      word = vbits = 0;
+      shift = 0;
+    }
+  }
+  if (shift) {
+    packed[w] = (int32_t)word;
+    vmask[w] = (int32_t)vbits;
+  }
+  return nbases;
+}
+
 }  // extern "C"

@@ -133,6 +133,11 @@ def load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
         ]
+        lib.sp_pack_body.restype = ctypes.c_int64
+        lib.sp_pack_body.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
         _lib = lib
         return lib
 
@@ -164,6 +169,32 @@ def align_ops(a: np.ndarray, b: np.ndarray, band: int = 64) -> np.ndarray:
     if n < 0:
         raise RuntimeError("sp_banded_align_ops failed (buffer/band)")
     return out[: 2 * n].reshape(n, 2)
+
+
+def pack_body(raw: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
+    """Raw FASTA record body (uint8, MAY contain newlines/CR) -> 2-bit
+    packed words. One native pass replaces the strip-copy + LUT gather +
+    shift/sum packing passes of the numpy path (io/encoding.pack_words).
+
+    Returns (packed int32[ceil(nbases/16)], vmask int32[same], nbases).
+    The GIL is released during the call, so per-chromosome packing
+    parallelizes across host threads.
+    """
+    lib = load()
+    raw = np.ascontiguousarray(raw, dtype=np.uint8)
+    cap_words = (raw.size + 15) // 16
+    packed = np.zeros(max(cap_words, 1), dtype=np.int32)
+    vmask = np.zeros(max(cap_words, 1), dtype=np.int32)
+    n = lib.sp_pack_body(
+        _u8ptr(raw), raw.size,
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        vmask.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    n_words = max(-(-int(n) // 16), 0)
+    if n_words < cap_words:
+        packed = np.ascontiguousarray(packed[:n_words])
+        vmask = np.ascontiguousarray(vmask[:n_words])
+    return packed, vmask, int(n)
 
 
 def refine_ltr(seq_codes: np.ndarray, seed_i: np.ndarray, seed_j: np.ndarray,

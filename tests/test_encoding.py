@@ -66,3 +66,65 @@ def test_codes_to_kmers_vectorized():
 
 def test_revcomp_str():
     assert revcomp_str("ACGTN") == "NACGT"
+
+
+@pytest.mark.parametrize("n", [0, 1, 15, 16, 17, 4093, 65536])
+def test_native_pack_body_matches_numpy(n):
+    """ltr/native.pack_body (single C pass over the raw body, newlines
+    embedded) must produce bit-identical words to encode_bases+pack_words."""
+    pytest.importorskip("subphaser_tpu.ltr.native")
+    from subphaser_tpu.ltr.native import pack_body
+
+    rng = np.random.default_rng(n)
+    seq = random_seq(rng, n, n_frac=0.03)
+    # mixed case + IUPAC ambiguity to exercise the validity LUT
+    seq = "".join(
+        c.lower() if rng.random() < 0.3 else ("Y" if rng.random() < 0.01 else c)
+        for c in seq
+    )
+    # re-wrap at 60 cols with a stray CRLF to mimic on-disk FASTA bodies
+    lines = [seq[i : i + 60] for i in range(0, len(seq), 60)]
+    raw_bytes = b"\r\n".join(ln.encode() for ln in lines[:2]) + (
+        b"\n" + "\n".join(lines[2:]).encode() if len(lines) > 2 else b""
+    )
+    raw = np.frombuffer(raw_bytes + b"\n", dtype=np.uint8)
+
+    packed_n, vmask_n, nb = pack_body(raw)
+    assert nb == len(seq)
+    codes, valid = encode_bases(np.frombuffer(seq.encode(), dtype=np.uint8))
+    packed_ref, vmask_ref = pack_words(codes, valid)
+    np.testing.assert_array_equal(packed_n, packed_ref)
+    np.testing.assert_array_equal(vmask_n, vmask_ref)
+
+
+def test_iter_fasta_raw_matches_iter_fasta(tmp_path):
+    from subphaser_tpu.io.fasta import iter_fasta, iter_fasta_raw
+
+    rng = np.random.default_rng(7)
+    recs = {f"chr{i}": random_seq(rng, int(rng.integers(10, 500))) for i in range(4)}
+    path = tmp_path / "g.fa"
+    with open(path, "w") as f:
+        for name, seq in recs.items():
+            f.write(f">{name} some desc {name}\n")
+            for j in range(0, len(seq), 37):
+                f.write(seq[j : j + 37] + "\n")
+    clean = list(iter_fasta(str(path)))
+    raw = list(iter_fasta_raw(str(path)))
+    assert [r[0] for r in raw] == [c[0] for c in clean] == list(recs)
+    assert [r[1] for r in raw] == [c[1] for c in clean]
+    for (_, _, rbody), (_, _, cbody) in zip(raw, clean):
+        stripped = rbody.tobytes().replace(b"\n", b"").replace(b"\r", b"")
+        assert stripped == cbody.tobytes()
+
+
+def test_from_raw_body_roundtrip():
+    from subphaser_tpu.io.genome import PackedChromosome
+
+    rng = np.random.default_rng(11)
+    seq = random_seq(rng, 1234, n_frac=0.02)
+    wrapped = "\n".join(seq[i : i + 50] for i in range(0, len(seq), 50)) + "\n"
+    c = PackedChromosome.from_raw_body(
+        "c1", np.frombuffer(wrapped.encode(), dtype=np.uint8)
+    )
+    assert c.length == len(seq)
+    assert c.to_seq() == seq
