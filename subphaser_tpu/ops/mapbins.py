@@ -7,11 +7,19 @@ every base of the genome (reference Seqs.py:74-153, 209-244) — with:
    reference's lookup dict holds each significant k-mer AND its reverse
    complement, so forward matching reproduces both-strand hits),
 2. membership + SG id via binary search into the sorted significant-code
-   table (vectorized searchsorted),
-3. per-(bin, SG) counting via the same sort+RLE primitive used for counting
-   (TPUs do sorted-segment reduction far better than random scatter).
+   table (vectorized searchsorted; the dense-table variant in mapbins_dense
+   replaces this for k <= 15 on big genomes),
+3. per-(bin, SG) counting WITHOUT a sort: bins are contiguous position
+   ranges, so a transpose to position order + one contiguous
+   dynamic_update_slice (offset = start % bin_size) + a reshape-sum reduces
+   each bin. The sort+RLE formulation this replaces cost ~224 ms per 8.4 Mb
+   tile on the v5e (tools/bench_map_parts.py).
 
-Per 8.4 Mb tile this is one searchsorted pass + one 8.4M-element sort.
+The distinct-hit statistic (the mapping-rate log line, reference
+Seqs.py:114-117) is carried as a compacted sorted-unique hit-index list per
+dispatch and merged on device in HitSet — the dense-boolean formulation
+needed an m-element searchsorted per tile (~1.3 s per 34 Mb batch at
+m = 2^21, the single largest mapping cost).
 """
 
 from __future__ import annotations
@@ -22,7 +30,40 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from subphaser_tpu.ops.count import (
+    _compact_survivors,
+    _concat_pow2,
+    _sort_only,
+    _sorted_run_survivors,
+)
 from subphaser_tpu.ops.kmer import BASES_PER_WORD, SENTINEL, forward_codes
+
+
+def bin_counts_contiguous(hit, sg, start, *, bin_size: int, n_sg: int,
+                          nbins_tile: int):
+    """(16, W) hit/sg grids -> (nbins_tile, n_sg) int32 counts, no sort.
+
+    Flat position offset within the tile is w*16 + p, so swapping the
+    (p, w) axes yields position order; bins are then contiguous runs of
+    ``bin_size`` rows after shifting by ``start % bin_size``.
+    """
+    n_pos = hit.shape[0] * hit.shape[1]
+    sg_ids = jnp.arange(n_sg, dtype=sg.dtype)[:, None, None]
+    rows = (hit[None] & (sg[None] == sg_ids)).astype(jnp.int32)  # (n_sg,16,W)
+    pos_rows = jnp.swapaxes(rows, 1, 2).reshape(n_sg, n_pos)
+    r = jnp.asarray(start, jnp.int32) % bin_size
+    arr = jnp.zeros((n_sg, nbins_tile * bin_size), jnp.int32)
+    arr = jax.lax.dynamic_update_slice(arr, pos_rows, (jnp.int32(0), r))
+    return arr.reshape(n_sg, nbins_tile, bin_size).sum(axis=2, dtype=jnp.int32).T
+
+
+def distinct_hits(hidx_flat, cap: int):
+    """Flat hit indices (SENTINEL = miss) -> sorted unique, SENTINEL-padded
+    to ``cap`` entries (cap is clipped to the input size)."""
+    s = jnp.sort(hidx_flat.reshape(-1))
+    keep, runlen, _m = _sorted_run_survivors(s, 1)
+    u, _c = _compact_survivors(s, keep, runlen, min(cap, int(s.shape[0])))
+    return u
 
 
 @functools.partial(
@@ -42,7 +83,7 @@ def map_tile_bins(
     nbins_tile: int,
 ):
     """Returns (bin_counts int32 (nbins_tile, n_sg), first_bin int32 scalar,
-    hit_idx int32 (N,) sorted unique sig-table indices hit, padded SENTINEL).
+    hits int32 sorted unique sig-table indices hit, padded SENTINEL).
     """
     fcodes = forward_codes(words, vwords, k, n_pos_words)  # (16, W)
     m = sig_codes.shape[0]
@@ -51,40 +92,12 @@ def map_tile_bins(
     hit = (idx < m) & (sig_codes[idx_c] == fcodes) & (fcodes != SENTINEL)
     sg = sig_sg[idx_c]
 
-    p = jax.lax.broadcasted_iota(jnp.int32, fcodes.shape, 0)
-    w = jax.lax.broadcasted_iota(jnp.int32, fcodes.shape, 1)
-    pos = start + w * BASES_PER_WORD + p
-    first_bin = start // bin_size
-    local_bin = pos // bin_size - first_bin
-
-    key = jnp.where(hit, local_bin * n_sg + sg, SENTINEL).reshape(-1)
-    skey = jnp.sort(key)
-    n = skey.shape[0]
-    start_run = jnp.concatenate([jnp.ones(1, bool), skey[1:] != skey[:-1]])
-    (rpos,) = jnp.where(start_run, size=n, fill_value=n)
-    ukeys = jnp.where(rpos < n, skey[jnp.minimum(rpos, n - 1)], SENTINEL)
-    rcounts = jnp.diff(rpos, append=jnp.int32(n))
-    rcounts = jnp.where(ukeys == SENTINEL, 0, rcounts)
-
-    # densify (nbins_tile * n_sg) by binary search into the unique keys
-    dense_keys = jnp.arange(nbins_tile * n_sg, dtype=jnp.int32)
-    di = jnp.searchsorted(ukeys, dense_keys)
-    di_c = jnp.minimum(di, n - 1)
-    dense = jnp.where(
-        (di < n) & (ukeys[di_c] == dense_keys), rcounts[di_c], 0
-    ).astype(jnp.int32)
-    bin_counts = dense.reshape(nbins_tile, n_sg)
-
-    # distinct significant k-mers hit in this tile, as a dense mask over the
-    # sig table (for the mapping-rate log, reference Seqs.py:114-117);
-    # accumulated on device so only (M,) bools ever cross the host link
-    hidx = jnp.where(hit, idx, SENTINEL).reshape(-1)
-    shidx = jnp.sort(hidx)
-    dense_j = jnp.arange(m, dtype=shidx.dtype)
-    dj = jnp.searchsorted(shidx, dense_j)
-    dj_c = jnp.minimum(dj, shidx.shape[0] - 1)
-    hitmask = (dj < shidx.shape[0]) & (shidx[dj_c] == dense_j)
-    return bin_counts, jnp.int32(first_bin), hitmask
+    bin_counts = bin_counts_contiguous(
+        hit, sg, start, bin_size=bin_size, n_sg=n_sg, nbins_tile=nbins_tile
+    )
+    first_bin = jnp.asarray(start, jnp.int32) // bin_size
+    hidx = jnp.where(hit, idx_c.astype(jnp.int32), SENTINEL)
+    return bin_counts, first_bin, distinct_hits(hidx, m)
 
 
 @functools.partial(
@@ -103,33 +116,76 @@ def map_tiles_batch(
     n_sg: int,
     nbins_tile: int,
 ):
-    """Batch of tiles -> ((T, nbins_tile, n_sg) counts, OR-reduced hitmask).
+    """Batch of tiles -> ((T, nbins_tile, n_sg) counts, merged hit list).
 
     One dispatch per batch (remote-tunnel round trips dominate otherwise);
-    per-tile work runs under lax.map to bound memory.
+    per-tile work runs under lax.map to bound memory. The distinct-hit list
+    is computed once per BATCH, amortizing its sort over all tiles.
     """
+    m = sig_codes.shape[0]
+
     def one(args):
         w, v, s = args
-        bc, _fb, hm = map_tile_bins(
-            w, v, sig_codes, sig_sg, s,
-            k=k, n_pos_words=n_pos_words, bin_size=bin_size,
-            n_sg=n_sg, nbins_tile=nbins_tile,
+        fcodes = forward_codes(w, v, k, n_pos_words)
+        idx = jnp.searchsorted(sig_codes, fcodes)
+        idx_c = jnp.minimum(idx, m - 1)
+        hit = (idx < m) & (sig_codes[idx_c] == fcodes) & (fcodes != SENTINEL)
+        sg = sig_sg[idx_c]
+        bc = bin_counts_contiguous(
+            hit, sg, s, bin_size=bin_size, n_sg=n_sg, nbins_tile=nbins_tile
         )
-        return bc, hm
+        return bc, jnp.where(hit, idx_c.astype(jnp.int32), SENTINEL).reshape(-1)
 
-    bcs, hms = jax.lax.map(one, (words, vwords, starts))
-    return bcs, jnp.any(hms, axis=0)
+    bcs, hidxs = jax.lax.map(one, (words, vwords, starts))
+    return bcs, distinct_hits(hidxs, m)
 
 
 def nbins_for_tile(tile_bases: int, bin_size: int) -> int:
     return tile_bases // bin_size + 2
 
 
+class HitSet:
+    """Device-side accumulator of distinct significant-k-mer hits.
+
+    Each ``add`` receives a sorted-unique SENTINEL-padded hit-index array
+    (one per dispatched batch); parts stay on device and are consolidated
+    in one sort whenever the pending total exceeds ``budget`` entries
+    (reusing the pow2-bucketed sort/compact programs the counting path
+    already compiled). ``count`` returns the number of distinct indices.
+    """
+
+    def __init__(self, budget: int = 1 << 26):
+        self.budget = budget
+        self.parts: list[jnp.ndarray] = []
+        self.pending = 0
+
+    def add(self, hits) -> None:
+        self.parts.append(hits)
+        self.pending += int(hits.shape[0])
+        if self.pending > self.budget and len(self.parts) > 1:
+            self._consolidate()
+
+    def _consolidate(self) -> None:
+        s = _sort_only(_concat_pow2(self.parts))
+        keep, runlen, m = _sorted_run_survivors(s, 1)
+        cap = min(1 << max(int(m) - 1, 1).bit_length(), int(s.shape[0]))
+        u, _c = _compact_survivors(s, keep, runlen, max(cap, 1))
+        self.parts = [u]
+        self.pending = int(u.shape[0])
+
+    def count(self) -> int:
+        if not self.parts:
+            return 0
+        s = _sort_only(_concat_pow2(self.parts))
+        _keep, _runlen, m = _sorted_run_survivors(s, 1)
+        return int(m)
+
+
 class BinAccumulator:
     """Accumulates per-tile bin counts into per-chromosome dense arrays.
 
-    The distinct-hit mask stays on device (OR-accumulated jnp bool array)
-    until ``mapped_kmer_count`` is read.
+    Distinct-hit bookkeeping stays on device (HitSet) until
+    ``mapped_kmer_count`` is read.
     """
 
     def __init__(self, chrom_sizes: list[int], bin_size: int, n_sg: int):
@@ -138,10 +194,10 @@ class BinAccumulator:
         self.per_chrom = [
             np.zeros((-(-size // bin_size), n_sg), dtype=np.int64) for size in chrom_sizes
         ]
-        self._hitmask = None
+        self._hits = HitSet()
         self.mapped_positions = 0
 
-    def add(self, chrom_index: int, bin_counts, first_bin: int, hitmask=None) -> None:
+    def add(self, chrom_index: int, bin_counts, first_bin: int, hits=None) -> None:
         bc = np.asarray(bin_counts)
         arr = self.per_chrom[chrom_index]
         nb = arr.shape[0]
@@ -150,15 +206,9 @@ class BinAccumulator:
         if hi > lo:
             arr[lo:hi] += bc[: hi - lo]
         self.mapped_positions += int(bc.sum())
-        if hitmask is not None:
-            self._hitmask = (
-                hitmask if self._hitmask is None else self._hitmask | hitmask
-            )
+        if hits is not None:
+            self._hits.add(hits)
 
     @property
     def mapped_kmer_count(self) -> int:
-        if self._hitmask is None:
-            return 0
-        import jax.numpy as jnp
-
-        return int(jnp.sum(self._hitmask))
+        return self._hits.count()

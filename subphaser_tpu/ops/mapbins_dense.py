@@ -2,9 +2,17 @@
 
 Measured on the v5e: vectorized searchsorted runs ~8 M lookups/s (it is a
 ~14-step gather loop), while one direct gather from a dense table reaches
-~67 M lookups/s. For k <= 15 the full 4^k code space fits a dense int32
-table (4 GB at k=15; idx+1 entries, 0 = miss), built once per run with a
-single small scatter.
+~75 M lookups/s. For k <= 15 the full 4^k code space fits a dense int32
+table (4 GB at k=15), built once per run with a single small scatter.
+
+The table value is COMPOSITE: ((idx + 1) << SG_BITS) | sg, so one gather
+yields membership, the sig-table index (for the distinct-hit statistic),
+and the subgenome id — the separate sig_sg gather it replaces cost ~170 ms
+per 34 Mb batch (tools/bench_map_variants.py: comp_pl vs slice_pl).
+
+Bin counting and the distinct-hit list use the shared no-sort helpers in
+ops/mapbins (see that module's docstring for the formulation and measured
+costs).
 """
 
 from __future__ import annotations
@@ -13,18 +21,25 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from subphaser_tpu.ops.kmer import BASES_PER_WORD, SENTINEL, forward_codes
+from subphaser_tpu.ops.kmer import SENTINEL, forward_codes
+from subphaser_tpu.ops.mapbins import bin_counts_contiguous, distinct_hits
+
+SG_BITS = 4  # supports n_sg <= 16 and sig counts up to 2^26
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def build_sig_table(sig_codes, k: int):
-    """int32 table over [0, 4^k): sig index + 1 at each significant code."""
+def build_sig_table(sig_codes, sig_sg, k: int):
+    """int32 table over [0, 4^k): ((idx + 1) << SG_BITS) | sg, 0 = miss.
+
+    SENTINEL pad codes (phase/warmup.pad_sig_pow2) scatter out of bounds and
+    are dropped, so padding never creates table entries.
+    """
     size = 1 << (2 * k)
     table = jnp.zeros(size, dtype=jnp.int32)
     idx = jnp.arange(sig_codes.shape[0], dtype=jnp.int32) + 1
-    return table.at[sig_codes].set(idx)
+    vals = (idx << SG_BITS) | sig_sg.astype(jnp.int32)
+    return table.at[sig_codes].set(vals)
 
 
 @functools.partial(
@@ -35,48 +50,29 @@ def map_tiles_batch_dense(
     words, vwords, table, sig_sg, starts,
     *, k: int, n_pos_words: int, bin_size: int, n_sg: int, nbins_tile: int,
 ):
-    """Batch of tiles -> ((T, nbins, n_sg) counts, OR-reduced hitmask)."""
+    """Batch of tiles -> ((T, nbins, n_sg) counts, merged distinct-hit list).
+
+    ``sig_sg`` is only consulted for the sig-table SIZE (the sg ids ride in
+    the composite table value); it is kept in the signature so the dense and
+    searchsorted paths stay call-compatible.
+    """
     mask_code = (1 << (2 * k)) - 1
     m = sig_sg.shape[0]
 
     def one(args):
         w, v, start = args
-        fcodes = forward_codes(w, v, k, n_pos_words)
+        fcodes = forward_codes(w, v, k, n_pos_words)  # (16, W)
         vals = table[fcodes.reshape(-1) & mask_code].reshape(fcodes.shape)
         hit = (vals > 0) & (fcodes != SENTINEL)
-        idx = jnp.maximum(vals - 1, 0)
-        sg = sig_sg[idx]
-        p = jax.lax.broadcasted_iota(jnp.int32, fcodes.shape, 0)
-        w_i = jax.lax.broadcasted_iota(jnp.int32, fcodes.shape, 1)
-        pos = start + w_i * BASES_PER_WORD + p
-        first_bin = start // bin_size
-        local_bin = pos // bin_size - first_bin
-
-        key = jnp.where(hit, local_bin * n_sg + sg, SENTINEL).reshape(-1)
-        skey = jnp.sort(key)
-        n = skey.shape[0]
-        start_run = jnp.concatenate([jnp.ones(1, bool), skey[1:] != skey[:-1]])
-        (rpos,) = jnp.where(start_run, size=n, fill_value=n)
-        ukeys = jnp.where(rpos < n, skey[jnp.minimum(rpos, n - 1)], SENTINEL)
-        rcounts = jnp.diff(rpos, append=jnp.int32(n))
-        rcounts = jnp.where(ukeys == SENTINEL, 0, rcounts)
-        dense_keys = jnp.arange(nbins_tile * n_sg, dtype=jnp.int32)
-        di = jnp.searchsorted(ukeys, dense_keys)
-        di_c = jnp.minimum(di, n - 1)
-        bc = jnp.where(
-            (di < n) & (ukeys[di_c] == dense_keys), rcounts[di_c], 0
-        ).astype(jnp.int32).reshape(nbins_tile, n_sg)
-
-        hidx = jnp.where(hit, idx, SENTINEL).reshape(-1)
-        shidx = jnp.sort(hidx)
-        dense_j = jnp.arange(m, dtype=shidx.dtype)
-        dj = jnp.searchsorted(shidx, dense_j)
-        dj_c = jnp.minimum(dj, shidx.shape[0] - 1)
-        hm = (dj < shidx.shape[0]) & (shidx[dj_c] == dense_j)
-        return bc, hm
+        idx = jnp.maximum((vals >> SG_BITS) - 1, 0)
+        sg = vals & ((1 << SG_BITS) - 1)
+        bc = bin_counts_contiguous(
+            hit, sg, start, bin_size=bin_size, n_sg=n_sg, nbins_tile=nbins_tile
+        )
+        return bc, jnp.where(hit, idx, SENTINEL).reshape(-1)
 
     if words.ndim == 1:
-        bc, hm = one((words, vwords, starts))
-        return bc[None], hm
-    bcs, hms = jax.lax.map(one, (words, vwords, starts))
-    return bcs, jnp.any(hms, axis=0)
+        bc, hidx = one((words, vwords, starts))
+        return bc[None], distinct_hits(hidx, m)
+    bcs, hidxs = jax.lax.map(one, (words, vwords, starts))
+    return bcs, distinct_hits(hidxs, m)

@@ -53,30 +53,15 @@ def map_tile_bins_pair(
         )
         sg = jnp.where(ok & ~hit, sig_sg[idx], sg)
         hit = hit | ok
-    p = jax.lax.broadcasted_iota(jnp.int32, fhi.shape, 0)
-    w = jax.lax.broadcasted_iota(jnp.int32, fhi.shape, 1)
-    pos = start + w * BASES_PER_WORD + p
-    first_bin = start // bin_size
-    local_bin = pos // bin_size - first_bin
+    from subphaser_tpu.ops.mapbins import bin_counts_contiguous, distinct_hits
 
-    key = jnp.where(hit, local_bin * n_sg + sg, SENTINEL).reshape(-1)
-    skey = jnp.sort(key)
-    n = skey.shape[0]
-    start_run = jnp.concatenate([jnp.ones(1, bool), skey[1:] != skey[:-1]])
-    (rpos,) = jnp.where(start_run, size=n, fill_value=n)
-    ukeys = jnp.where(rpos < n, skey[jnp.minimum(rpos, n - 1)], SENTINEL)
-    rcounts = jnp.diff(rpos, append=jnp.int32(n))
-    rcounts = jnp.where(ukeys == SENTINEL, 0, rcounts)
-    dense_keys = jnp.arange(nbins_tile * n_sg, dtype=jnp.int32)
-    di = jnp.searchsorted(ukeys, dense_keys)
-    di_c = jnp.minimum(di, n - 1)
-    dense = jnp.where(
-        (di < n) & (ukeys[di_c] == dense_keys), rcounts[di_c], 0
-    ).astype(jnp.int32)
-    bin_counts = dense.reshape(nbins_tile, n_sg)
+    bin_counts = bin_counts_contiguous(
+        hit, sg, start, bin_size=bin_size, n_sg=n_sg, nbins_tile=nbins_tile
+    )
+    first_bin = jnp.asarray(start, jnp.int32) // bin_size
 
-    # distinct-hit mask over the sig table: position of each hit = base + j
-    # offset where it matched; recover via a sorted pass on match indices
+    # distinct hits over the sig table: position of each hit = base + j
+    # offset where it matched; compacted to a sorted-unique list
     midx = jnp.full(fhi.shape, SENTINEL, dtype=jnp.int32)
     for j in range(probe):
         idx = jnp.minimum(base + j, m - 1)
@@ -87,12 +72,7 @@ def map_tile_bins_pair(
             & (fhi != SENTINEL)
         )
         midx = jnp.where(ok & (midx == SENTINEL), idx.astype(jnp.int32), midx)
-    smidx = jnp.sort(midx.reshape(-1))
-    dense_j = jnp.arange(m, dtype=jnp.int32)
-    dj = jnp.searchsorted(smidx, dense_j)
-    dj_c = jnp.minimum(dj, smidx.shape[0] - 1)
-    hitmask = (dj < smidx.shape[0]) & (smidx[dj_c] == dense_j)
-    return bin_counts, jnp.int32(first_bin), hitmask
+    return bin_counts, first_bin, distinct_hits(midx, m)
 
 
 def map_genome_bins_pair(genome, sig_codes64, sig_sg, k, tile_bases, bin_size, n_sg):

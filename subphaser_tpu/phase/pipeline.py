@@ -440,7 +440,7 @@ class Pipeline:
             # the real table already and pre-compiled the map program
             table = join_map_warmup(getattr(self, "_map_warm", None))
             if table is None:
-                table = build_sig_table(codes, self.k)
+                table = build_sig_table(codes, sgs, self.k)
         else:
             from subphaser_tpu.ops.mapbins import map_tiles_batch
         tiles = list(self.genome.tiles(self.k, tile_bases=self.tile_bases))

@@ -244,7 +244,7 @@ def start_map_warmup(
 
             salt = int.from_bytes(os.urandom(4), "little")
             rng = np.random.default_rng(salt)
-            table = build_sig_table(jnp.asarray(codes), k)
+            table = build_sig_table(jnp.asarray(codes), jnp.asarray(sgs), k)
             n_words = tile_words_for(tile_bases, k)
             shape = (batch, n_words) if batch > 1 else (n_words,)
             w = jnp.asarray(rng.integers(0, 1 << 31, size=shape, dtype=np.int32))

@@ -70,7 +70,7 @@ def test_map_tiles_batch_dense_oracle():
         d_kmers[revcomp(kmer)] = sg
     codes = np.array(sorted(kmer_code(s) for s in d_kmers), dtype=np.int32)
     sgs = np.array([d_kmers[s] for s in sorted(d_kmers, key=kmer_code)], dtype=np.int32)
-    table = build_sig_table(codes, k)
+    table = build_sig_table(codes, sgs, k)
 
     g = PackedGenome.from_dict({"c": seq})
     tile_bases = 1024
@@ -91,3 +91,64 @@ def test_map_tiles_batch_dense_oracle():
                                       err_msg=f"bin {b}")
     hit = {s for s in d_kmers if s in _all_substrings(seq, k)}
     assert acc.mapped_kmer_count == len({kmer_code(s) for s in hit})
+
+
+def test_map_tiles_batch_dense_batched_matches_single():
+    """(T, n_words) batched dense mapping == per-tile calls (production uses
+    batch=4 above 1 Gb); also cross-checks the searchsorted path."""
+    import numpy as np
+    from subphaser_tpu.ops.mapbins import map_tiles_batch
+    from subphaser_tpu.ops.mapbins_dense import build_sig_table, map_tiles_batch_dense
+
+    k, bin_size, n_sg = 11, 100, 3
+    rng = np.random.default_rng(17)
+    seq = random_seq(rng, 4 * 1024 + 700, n_frac=0.02)
+    d_kmers = {}
+    for pos in range(0, 4000, 23):
+        kmer = seq[pos : pos + k]
+        if "N" in kmer:
+            continue
+        sg = (pos // 300) % n_sg
+        d_kmers[kmer] = sg
+        d_kmers[revcomp(kmer)] = sg
+    codes = np.array(sorted(kmer_code(s) for s in d_kmers), dtype=np.int32)
+    sgs = np.array([d_kmers[s] for s in sorted(d_kmers, key=kmer_code)], dtype=np.int32)
+    table = build_sig_table(codes, sgs, k)
+
+    g = PackedGenome.from_dict({"c": seq})
+    tile_bases = 1024
+    nbt = nbins_for_tile(tile_bases, bin_size)
+    tiles = list(g.tiles(k, tile_bases=tile_bases))
+    words = np.stack([t.words for t in tiles])
+    vwords = np.stack([t.vwords for t in tiles])
+    starts = np.array([t.start for t in tiles], dtype=np.int32)
+
+    bcs_b, hm_b = map_tiles_batch_dense(
+        words, vwords, table, sgs, starts,
+        k=k, n_pos_words=tile_bases // 16, bin_size=bin_size,
+        n_sg=n_sg, nbins_tile=nbt,
+    )
+    from subphaser_tpu.ops.kmer import SENTINEL
+
+    bcs_b, hm_b = np.asarray(bcs_b), np.asarray(hm_b)
+    hit_union = set()
+    for i, t in enumerate(tiles):
+        bc1, hm1 = map_tiles_batch_dense(
+            t.words, t.vwords, table, sgs, np.int32(t.start),
+            k=k, n_pos_words=tile_bases // 16, bin_size=bin_size,
+            n_sg=n_sg, nbins_tile=nbt,
+        )
+        np.testing.assert_array_equal(bcs_b[i], np.asarray(bc1)[0], err_msg=f"tile {i}")
+        h = np.asarray(hm1)
+        hit_union |= set(h[h != SENTINEL].tolist())
+    got_hits = hm_b[hm_b != SENTINEL]
+    assert sorted(hit_union) == got_hits.tolist()
+
+    bcs_s, hm_s = map_tiles_batch(
+        words, vwords, codes, sgs, starts,
+        k=k, n_pos_words=tile_bases // 16, bin_size=bin_size,
+        n_sg=n_sg, nbins_tile=nbt,
+    )
+    np.testing.assert_array_equal(bcs_b, np.asarray(bcs_s))
+    hs = np.asarray(hm_s)
+    np.testing.assert_array_equal(got_hits, hs[hs != SENTINEL])

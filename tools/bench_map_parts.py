@@ -35,7 +35,6 @@ def main():
     from subphaser_tpu.io.genome import tile_words_for
     from subphaser_tpu.ops.kmer import BASES_PER_WORD, SENTINEL, forward_codes
     from subphaser_tpu.ops.mapbins import nbins_for_tile
-    from subphaser_tpu.ops.mapbins_dense import build_sig_table
     from subphaser_tpu.utils.compcache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -53,13 +52,15 @@ def main():
     )
     sig_sg = rng.integers(0, N_SG, size=M, dtype=np.int32)
 
-    table = build_sig_table(jnp.asarray(sig_codes), K)
+    t_np = np.zeros(1 << (2 * K), np.int32)
+    t_np[sig_codes] = np.arange(M, dtype=np.int32) + 1
+    table = jax.device_put(t_np)
     sgs = jnp.asarray(sig_sg)
     ws = jax.device_put(words)
     vs = jax.device_put(vwords)
     st = jax.device_put(starts)
 
-    def tile_core(w, v, s, salt, *, with_bins, with_hit):
+    def tile_core(w, v, s, salt, table, sgs, *, with_bins, with_hit):
         fcodes = forward_codes(w ^ salt, v, K, n_pos_words)
         vals = table[fcodes.reshape(-1) & mask_code].reshape(fcodes.shape)
         hit = (vals > 0) & (fcodes != SENTINEL)
@@ -100,7 +101,7 @@ def main():
 
     def make(with_bins, with_hit, with_gather=True):
         @jax.jit
-        def step(ws, vs, st, salt):
+        def step(ws, vs, st, salt, table, sgs):
             def one(args):
                 w, v, s = args
                 if not with_gather:
@@ -108,7 +109,10 @@ def main():
                     return jnp.sum(
                         jnp.where(fcodes != SENTINEL, fcodes, 0).astype(jnp.uint32)
                     )
-                return tile_core(w, v, s, salt, with_bins=with_bins, with_hit=with_hit)
+                return tile_core(
+                    w, v, s, salt, table, sgs,
+                    with_bins=with_bins, with_hit=with_hit,
+                )
 
             return jnp.sum(jax.lax.map(one, (ws, vs, st)))
 
@@ -121,7 +125,8 @@ def main():
         ("full", make(True, True)),
     ]
     base = int.from_bytes(os.urandom(3), "little")
-    for name, step in variants:
+    for name, fn in variants:
+        step = lambda ws, vs, st, salt: fn(ws, vs, st, salt, table, sgs)  # noqa: E731
         t0 = time.time()
         out = int(step(ws, vs, st, jnp.int32(base)))
         print(f"{name}: compile+first {time.time()-t0:.1f}s", flush=True)
@@ -136,5 +141,53 @@ def main():
               flush=True)
 
 
+def bench_production():
+    """Time the REAL map_tiles_batch_dense at production shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from subphaser_tpu.io.genome import tile_words_for
+    from subphaser_tpu.ops.mapbins import nbins_for_tile
+    from subphaser_tpu.ops.mapbins_dense import build_sig_table, map_tiles_batch_dense
+    from subphaser_tpu.utils.compcache import enable_compilation_cache
+
+    enable_compilation_cache()
+    n_pos_words = TILE_BASES // 16
+    nbt = nbins_for_tile(TILE_BASES, BIN_SIZE)
+    rng = np.random.default_rng(0)
+    n_words = tile_words_for(TILE_BASES, K)
+    sig_codes = np.sort(rng.choice(1 << (2 * K), size=M, replace=False).astype(np.int32))
+    sig_sg = rng.integers(0, N_SG, size=M, dtype=np.int32)
+    table = build_sig_table(jnp.asarray(sig_codes), jnp.asarray(sig_sg), K)
+    sgs = jax.device_put(sig_sg)
+    base = int.from_bytes(os.urandom(3), "little")
+    dt_tot = 0.0
+    iters = 5
+    for i in range(iters + 2):
+        words = rng.integers(0, 2**32, size=(N_TILES, n_words), dtype=np.uint32).astype(np.int32)
+        vwords = np.full((N_TILES, n_words), np.uint32(0xFFFF)).astype(np.int32)
+        starts = rng.integers(0, 1 << 28, size=N_TILES, dtype=np.int32)
+        t0 = time.time()
+        bcs, hm = map_tiles_batch_dense(
+            jax.device_put(words), jax.device_put(vwords), table, sgs,
+            jax.device_put(starts),
+            k=K, n_pos_words=n_pos_words, bin_size=BIN_SIZE, n_sg=N_SG,
+            nbins_tile=nbt,
+        )
+        chk = int(jnp.sum(bcs.astype(jnp.uint32) * jax.lax.iota(jnp.uint32, bcs.size).reshape(bcs.shape))) + int(jnp.sum(hm))
+        dt = time.time() - t0
+        if i == 0:
+            print(f"prod: compile+first {dt:.1f}s", flush=True)
+        elif i >= 2:
+            dt_tot += dt
+        print(f"  iter {i}: {dt*1e3:.0f} ms chk={chk}", flush=True)
+    dt = dt_tot / iters
+    mbp = N_TILES * TILE_BASES / 1e6
+    print(f"prod: {mbp/dt:.1f} Mbp/s ({dt*1e3:.0f} ms/batch)", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--prod" in sys.argv:
+        bench_production()
+    else:
+        main()
