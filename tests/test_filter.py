@@ -91,3 +91,54 @@ def test_baseline_out_of_range_raises():
             np.ones((4, 5), np.int32), np.ones(5), spec,
             min_fold=2.0, ratio=0.5, baseline=2,
         )
+
+
+def test_union_counts_window_filtered_subset():
+    """_UnionCounts must handle all_codes that is a SUBSET of the union
+    (the want_histogram=False path pre-filters by the frequency window)."""
+    import numpy as np
+
+    from subphaser_tpu.phase.filtering import _UnionCounts, chunk_counts
+    from subphaser_tpu.phase.spectrum import ChromSpectrum
+
+    rng = np.random.default_rng(3)
+    spectra = []
+    for j in range(5):
+        codes = np.unique(rng.integers(0, 5000, 800).astype(np.int32))
+        counts = rng.integers(1, 9, codes.size).astype(np.int64)
+        spectra.append(
+            ChromSpectrum(name=f"c{j}", codes=codes, counts=counts,
+                          total=int(counts.sum()))
+        )
+    from subphaser_tpu.ops.count import merge_host
+
+    union, tot = merge_host([(s.codes, s.counts) for s in spectra])
+    keep = (tot >= 3) & (tot <= 20)  # frequency window
+    sub = union[keep]
+    uc = _UnionCounts(spectra, sub)
+    for lo in range(0, sub.size, 300):
+        hi = min(lo + 300, sub.size)
+        np.testing.assert_array_equal(
+            uc.chunk(lo, hi), chunk_counts(spectra, sub[lo:hi])
+        )
+
+
+def test_hitset_dedup_and_consolidation():
+    import numpy as np
+
+    from subphaser_tpu.ops.kmer import SENTINEL
+    from subphaser_tpu.ops.mapbins import HitSet
+
+    rng = np.random.default_rng(4)
+    hs = HitSet(budget=256)  # tiny budget forces consolidation
+    truth = set()
+    for _ in range(20):
+        vals = rng.integers(0, 500, 64).astype(np.int32)
+        miss = rng.random(64) < 0.3
+        vals[miss] = SENTINEL
+        arr = np.sort(np.unique(vals))
+        pad = np.full(128 - arr.size, SENTINEL, np.int32)
+        hs.add(np.concatenate([arr, pad]))
+        truth |= set(int(v) for v in vals[~miss])
+    assert hs.count() == len(truth)
+    assert hs.count() == len(truth)  # idempotent
