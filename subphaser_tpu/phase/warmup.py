@@ -74,18 +74,24 @@ def scan_fasta_lengths(
 
     Same prefixed-or-raw id matching as PackedGenome.from_fasta_files
     (reference split_genomes selection, Seqs.py:27-71), but only counts
-    bases — no packing, no python-level per-base work.
+    bases. Uses the zero-copy raw iterator + a vectorized newline count:
+    the copying parser (split + strip per record) held the GIL for the
+    whole genome and stalled the packing threads this warm-up is meant to
+    overlap with.
     """
-    from subphaser_tpu.io.fasta import iter_fasta
+    import numpy as np
+
+    from subphaser_tpu.io.fasta import iter_fasta_raw
 
     if prefixes is None:
         prefixes = [""] * len(genome_files)
     out: list[int] = []
     for path, prefix in zip(genome_files, prefixes):
-        for rid, _desc, seq in iter_fasta(path):
+        for rid, _desc, raw in iter_fasta_raw(path):
             if targets and f"{prefix}{rid}" not in targets and rid not in targets:
                 continue
-            out.append(int(seq.shape[0]))
+            nl = int(np.count_nonzero(raw == 10)) + int(np.count_nonzero(raw == 13))
+            out.append(int(raw.shape[0]) - nl)
     return out
 
 
