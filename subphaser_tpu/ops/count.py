@@ -372,6 +372,23 @@ class SpectrumAccumulator:
                 self.parts = []
                 self.pending = 0
 
+    def finish_async(self, lower_count: int = 1):
+        """Merge + threshold on device WITHOUT downloading: returns
+        (u, c, m) handles compatible with :func:`count_codes_collect`, or
+        None when host spills force the synchronous path (:meth:`finish`).
+
+        Lets the caller overlap this chromosome's survivor download with
+        the next chromosome's compute — the same pipeline window the fast
+        path uses (downloads through the remote tunnel otherwise serialize
+        at 1-3 MB/s per chromosome).
+        """
+        if self.spilled or not self.parts:
+            return None
+        u, c = merge_rle_many(self.parts, lower_count)
+        self.parts = []
+        self.pending = 0
+        return u, c, count_surviving(c, 1)
+
     def finish(self, lower_count: int = 1) -> tuple[np.ndarray, np.ndarray]:
         """Merge everything; apply the per-chromosome dump threshold.
 

@@ -181,6 +181,31 @@ def count_genome(
                 collect_oldest()
             continue
 
+        if k <= 15:
+            # accumulator path (chromosome exceeds the device budget):
+            # per-batch count + device merges, then the SAME pipeline
+            # window as the fast path so this chromosome's survivor
+            # download overlaps the next chromosome's compute
+            acc = SpectrumAccumulator(device_budget=device_budget)
+            for words, vwords in batches_of(tiles):
+                if words.ndim == 1:
+                    u, c = count_tile(words, vwords, k, n_pos_words)
+                else:
+                    u, c = count_tile_batch(words, vwords, k, n_pos_words)
+                acc.add(u, c)
+            handles = acc.finish_async(lower_count)
+            if handles is not None:
+                window.append((ci, chrom, params, ckp_name, handles, None))
+                while len(window) > PIPELINE_W:
+                    collect_oldest()
+                continue
+            # host spills force the synchronous merge
+            while window:
+                collect_oldest()
+            codes, counts = acc.finish(lower_count)
+            finish_one(ci, chrom, params, ckp_name, codes, counts)
+            continue
+
         while window:
             collect_oldest()
         if fast_pair:
@@ -196,24 +221,15 @@ def count_genome(
             codes, counts = count_pair_codes_threshold(code_parts, lower_count)
             finish_one(ci, chrom, params, ckp_name, codes, counts)
             continue
-        if k <= 15:
-            acc = SpectrumAccumulator(device_budget=device_budget)
-            for words, vwords in batches_of(tiles):
-                if words.ndim == 1:
-                    u, c = count_tile(words, vwords, k, n_pos_words)
-                else:
-                    u, c = count_tile_batch(words, vwords, k, n_pos_words)
-                acc.add(u, c)
-        else:
-            from subphaser_tpu.ops.count_pair import (
-                PairSpectrumAccumulator,
-                count_tile_batch_pair,
-            )
+        from subphaser_tpu.ops.count_pair import (
+            PairSpectrumAccumulator,
+            count_tile_batch_pair,
+        )
 
-            acc = PairSpectrumAccumulator(device_budget=device_budget)
-            for words, vwords in batches_of(tiles):
-                hi, lo_, c = count_tile_batch_pair(words, vwords, k, n_pos_words)
-                acc.add(hi, lo_, c)
+        acc = PairSpectrumAccumulator(device_budget=device_budget)
+        for words, vwords in batches_of(tiles):
+            hi, lo_, c = count_tile_batch_pair(words, vwords, k, n_pos_words)
+            acc.add(hi, lo_, c)
         codes, counts = acc.finish(lower_count)
         finish_one(ci, chrom, params, ckp_name, codes, counts)
 
