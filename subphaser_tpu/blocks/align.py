@@ -113,35 +113,14 @@ def align_pair(
 
 
 def _lis_anchors(aq: np.ndarray, at: np.ndarray):
-    """Longest strictly-increasing subsequence of ``at`` (patience sort,
-    O(n log n)); input must be sorted by (aq, at). Returns the colinear
-    anchor subset."""
-    import bisect
+    """Longest strictly-increasing subsequence of ``at`` (native patience
+    sort, ltr/_native sp_lis); input must be sorted by (aq, at). Returns
+    the colinear anchor subset."""
+    from subphaser_tpu.ltr.native import lis_indices
 
-    n = aq.size
-    if n == 0:
+    if aq.size == 0:
         return aq, at
-    tails: list[int] = []      # tails[k] = smallest at-value ending a k+1-LIS
-    tails_idx: list[int] = []
-    prev = np.full(n, -1, dtype=np.int64)
-    for i in range(n):
-        v = int(at[i])
-        k = bisect.bisect_left(tails, v)
-        if k == len(tails):
-            tails.append(v)
-            tails_idx.append(i)
-        else:
-            tails[k] = v
-            tails_idx[k] = i
-        prev[i] = tails_idx[k - 1] if k > 0 else -1
-    # backtrack
-    out = []
-    i = tails_idx[-1]
-    while i >= 0:
-        out.append(i)
-        i = int(prev[i])
-    out.reverse()
-    idx = np.array(out, dtype=np.int64)
+    idx = lis_indices(at)
     # drop anchors sharing a q start (keep the first)
     keep = np.concatenate([[True], np.diff(aq[idx]) > 0])
     idx = idx[keep]

@@ -717,6 +717,39 @@ int sp_banded_align_ops(const uint8_t* a, int la, const uint8_t* b, int lb,
 }
 
 // ---------------------------------------------------------------------------
+// sp_lis: longest strictly-increasing subsequence of t (patience sort,
+// O(n log n)). Input anchors must be sorted by (q, t). Writes the kept
+// indices to idx_out (caller-sized to n) and returns their count.
+// Replaces a per-element Python bisect loop in blocks/align._lis_anchors
+// that cost tens of seconds on million-anchor homoeologous blocks.
+// ---------------------------------------------------------------------------
+int64_t sp_lis(const int64_t* t, int64_t n, int64_t* idx_out) {
+  if (n <= 0) return 0;
+  std::vector<int64_t> tails;      // tails[k] = smallest t ending a (k+1)-LIS
+  std::vector<int64_t> tails_idx;  // index of that anchor
+  std::vector<int64_t> prev(n, -1);
+  tails.reserve(1024);
+  tails_idx.reserve(1024);
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t v = t[i];
+    size_t k = std::lower_bound(tails.begin(), tails.end(), v) - tails.begin();
+    if (k == tails.size()) {
+      tails.push_back(v);
+      tails_idx.push_back(i);
+    } else {
+      tails[k] = v;
+      tails_idx[k] = i;
+    }
+    prev[i] = k > 0 ? tails_idx[k - 1] : -1;
+  }
+  int64_t count = 0;
+  for (int64_t i = tails_idx.back(); i >= 0; i = prev[i]) ++count;
+  int64_t w = count;
+  for (int64_t i = tails_idx.back(); i >= 0; i = prev[i]) idx_out[--w] = i;
+  return count;
+}
+
+// ---------------------------------------------------------------------------
 // sp_pack_body: single-pass FASTA record body -> 2-bit packed words.
 //
 // Replaces the host-side numpy packing pipeline (io/encoding.encode_bases +

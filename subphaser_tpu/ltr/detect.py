@@ -31,6 +31,7 @@ from subphaser_tpu.utils.log import logger
 
 DEFAULT_PARAMS = dict(
     k=15,
+    seed=20,
     minlenltr=100,
     maxlenltr=7000,
     mindistltr=1000,
@@ -52,6 +53,7 @@ def parse_harvest_options(options: str | None) -> dict:
         return params
     toks = options.split()
     keymap = {
+        "-seed": ("seed", int),
         "-minlenltr": ("minlenltr", int),
         "-maxlenltr": ("maxlenltr", int),
         "-mindistltr": ("mindistltr", int),
@@ -74,7 +76,7 @@ def parse_harvest_options(options: str | None) -> dict:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "n_pos_words", "max_shift", "cap"),
+    static_argnames=("k", "n_pos_words", "max_shift", "cap", "phase"),
 )
 def seed_pairs(
     words,
@@ -86,6 +88,7 @@ def seed_pairs(
     maxdist: int,
     max_shift: int = 32,
     cap: int = 1 << 18,
+    phase: int = 1,
 ):
     """Direct-repeat seed pairs (i, j) with j - i in [mindist, maxdist].
 
@@ -96,6 +99,14 @@ def seed_pairs(
     copy: a high-copy repeat family only loses an element's LTR pair when
     more than ``max_shift`` same-code copies sit between its two LTRs
     (< maxdist apart). Returns (i, j) int32 arrays of length cap, -1 padded.
+
+    ``phase`` > 1 keeps only pairs whose LEFT position is a multiple of
+    ``phase`` — the k-mer-domain equivalent of ltrharvest's ``-seed``
+    minimum maximal-repeat length: a maximal match of length >=
+    k + phase - 1 always contains a phase-aligned window, so with
+    phase = seed - k + 1 every >= seed bp repeat is still seeded while the
+    ~phase-fold sliding-window duplication (every window of one long
+    match emitting its own pair) is dropped at the source.
     """
     codes = forward_codes(words, vwords, k, n_pos_words)  # (16, W)
     p = jax.lax.broadcasted_iota(jnp.int32, codes.shape, 0)
@@ -114,22 +125,106 @@ def seed_pairs(
         d = sp[s:] - sp[:-s]
         ad = jnp.abs(d)
         ok = same & (ad >= mindist) & (ad <= maxdist)
-        pad = jnp.zeros(s, dtype=bool)
-        masks.append(jnp.concatenate([ok, pad]))
         i_ = jnp.minimum(sp[:-s], sp[s:])
         j_ = jnp.maximum(sp[:-s], sp[s:])
+        if phase > 1:
+            ok = ok & (i_ % phase == 0)
+        pad = jnp.zeros(s, dtype=bool)
+        masks.append(jnp.concatenate([ok, pad]))
         ii.append(jnp.concatenate([i_, jnp.full(s, -1, jnp.int32)]))
         jj.append(jnp.concatenate([j_, jnp.full(s, -1, jnp.int32)]))
     mask = jnp.stack(masks).reshape(-1)
     iarr = jnp.stack(ii).reshape(-1)
     jarr = jnp.stack(jj).reshape(-1)
-    n_total = jnp.sum(mask)
-    (sel,) = jnp.where(mask, size=cap, fill_value=mask.shape[0])
-    valid = sel < mask.shape[0]
+    # compaction by cumsum + searchsorted: the t-th surviving pair sits at
+    # the first index where the running count reaches t. jnp.where(size=)
+    # lowers through a full-length scatter-add (bincount) — over this
+    # 32*n stacked mask it cost ~4 s per 4 Mb tile on the v5e; the
+    # contiguous scan + cap binary searches cost milliseconds.
+    csum = jnp.cumsum(mask.astype(jnp.int32))
+    n_total = csum[-1]
+    targets = jnp.arange(1, cap + 1, dtype=jnp.int32)
+    sel = jnp.searchsorted(csum, targets)
+    valid = targets <= n_total
     sel_c = jnp.minimum(sel, mask.shape[0] - 1)
     out_i = jnp.where(valid, iarr[sel_c], -1)
     out_j = jnp.where(valid, jarr[sel_c], -1)
     return out_i, out_j, n_total
+
+
+SEED_DOWNLOAD_CHUNK = 1 << 16
+
+
+def _iter_tile_seeds(chrom, prm, k: int, tile_bases: int, overlap: int,
+                     seed_cap: int, label: str):
+    """Yield (start, words, vwords, si, sj) per tile with a dispatch-ahead
+    window: tile N+1..N+3's device compute overlaps tile N's host download
+    (through the remote tunnel the downloads otherwise serialize), and only
+    ceil(n_total / chunk) fixed windows of the pair arrays cross the link —
+    the -1 padding (usually >90% of the cap) never downloads."""
+    from collections import deque
+
+    from subphaser_tpu.ops.count import _slice_chunk
+
+    n_pos = tile_bases + overlap
+    n_pos_words = n_pos // 16
+    n_words = n_pos_words + 1
+
+    # ltrharvest -seed semantics: only pairs at phase-aligned left positions
+    # (one seed per >= seed-bp maximal repeat instead of one per window)
+    phase = max(1, int(prm.get("seed", 20)) - k + 1)
+
+    def dispatch(start, cap):
+        w0 = start // 16
+        words = np.zeros(n_words, dtype=np.int32)
+        vwords = np.zeros(n_words, dtype=np.int32)
+        avail = min(n_words, chrom.packed.shape[0] - w0)
+        if avail <= 0:
+            return None
+        words[:avail] = chrom.packed[w0 : w0 + avail]
+        vwords[:avail] = chrom.vmask[w0 : w0 + avail]
+        si, sj, n_total = seed_pairs(
+            words, vwords, k=k, n_pos_words=n_pos_words,
+            mindist=prm["mindistltr"], maxdist=prm["maxdistltr"], cap=cap,
+            phase=phase,
+        )
+        return [start, words, vwords, si, sj, n_total, cap]
+
+    def collect(entry):
+        start, words, vwords, si, sj, n_total, cap = entry
+        n = int(n_total)
+        while n > cap and cap < (1 << 23):
+            cap *= 4  # repeat-dense tile: retry with more room
+            start, words, vwords, si, sj, n_total, cap = dispatch(start, cap)
+            n = int(n_total)
+        if n > cap:
+            logger.warning(
+                "%s seed cap overflow on %s @%d: %d pairs > cap %d; "
+                "repeat-dense region, candidates may be incomplete",
+                label, chrom.name, start, n, cap,
+            )
+            n = cap
+        chunk = min(SEED_DOWNLOAD_CHUNK, cap)  # cap is pow2: chunk divides it
+        n_chunks = max(1, -(-n // chunk))
+        parts = [
+            _slice_chunk(si, sj, np.int32(i * chunk), chunk)
+            for i in range(n_chunks)
+        ]
+        si_h = np.concatenate([np.asarray(p[0]) for p in parts])
+        sj_h = np.concatenate([np.asarray(p[1]) for p in parts])
+        m = si_h >= 0
+        return start, words, vwords, si_h[m], sj_h[m]
+
+    window: deque = deque()
+    for start in range(0, chrom.length, tile_bases):
+        entry = dispatch(start, seed_cap)
+        if entry is None:
+            continue
+        window.append(entry)
+        if len(window) > 3:
+            yield collect(window.popleft())
+    while window:
+        yield collect(window.popleft())
 
 
 def detect_ltr_chrom(
@@ -142,41 +237,11 @@ def detect_ltr_chrom(
     """Detect LTR candidates on one packed chromosome."""
     k = params["k"]
     n_pos = tile_bases + overlap
-    n_pos_words = n_pos // 16
-    n_words = n_pos_words + 1
     prm = {key: params[key] for key in DEFAULT_PARAMS}
     records: list[LTRRecord] = []
-    for start in range(0, chrom.length, tile_bases):
-        w0 = start // 16
-        words = np.zeros(n_words, dtype=np.int32)
-        vwords = np.zeros(n_words, dtype=np.int32)
-        avail = min(n_words, chrom.packed.shape[0] - w0)
-        if avail <= 0:
-            continue
-        words[:avail] = chrom.packed[w0 : w0 + avail]
-        vwords[:avail] = chrom.vmask[w0 : w0 + avail]
-        cap = seed_cap
-        while True:
-            si, sj, n_total = seed_pairs(
-                words, vwords, k=k, n_pos_words=n_pos_words,
-                mindist=prm["mindistltr"], maxdist=prm["maxdistltr"],
-                cap=cap,
-            )
-            n_total = int(n_total)
-            if n_total <= cap:
-                break
-            if cap >= (1 << 23):
-                logger.warning(
-                    "LTR seed cap overflow on %s @%d: %d pairs > cap %d; "
-                    "repeat-dense region, candidates may be incomplete",
-                    chrom.name, start, n_total, cap,
-                )
-                break
-            cap *= 4  # repeat-dense tile: retry with more room
-        si = np.asarray(si)
-        sj = np.asarray(sj)
-        m = si >= 0
-        si, sj = si[m], sj[m]
+    for start, words, vwords, si, sj in _iter_tile_seeds(
+        chrom, prm, k, tile_bases, overlap, seed_cap, "LTR"
+    ):
         if si.size == 0:
             continue
         codes, valid = unpack_words(words, vwords, n_pos)
@@ -258,41 +323,11 @@ def detect_finder_chrom(
     k = params["k"]
     min_score = int(params.get("min_score", 2))
     n_pos = tile_bases + overlap
-    n_pos_words = n_pos // 16
-    n_words = n_pos_words + 1
     prm = {key: params[key] for key in DEFAULT_PARAMS}
     records: list[LTRRecord] = []
-    for start in range(0, chrom.length, tile_bases):
-        w0 = start // 16
-        words = np.zeros(n_words, dtype=np.int32)
-        vwords = np.zeros(n_words, dtype=np.int32)
-        avail = min(n_words, chrom.packed.shape[0] - w0)
-        if avail <= 0:
-            continue
-        words[:avail] = chrom.packed[w0 : w0 + avail]
-        vwords[:avail] = chrom.vmask[w0 : w0 + avail]
-        cap = seed_cap
-        while True:
-            si, sj, n_total = seed_pairs(
-                words, vwords, k=k, n_pos_words=n_pos_words,
-                mindist=prm["mindistltr"], maxdist=prm["maxdistltr"],
-                cap=cap,
-            )
-            n_total = int(n_total)
-            if n_total <= cap:
-                break
-            if cap >= (1 << 23):
-                logger.warning(
-                    "LTR finder seed cap overflow on %s @%d: %d pairs > cap "
-                    "%d; repeat-dense region, candidates may be incomplete",
-                    chrom.name, start, n_total, cap,
-                )
-                break
-            cap *= 4
-        si = np.asarray(si)
-        sj = np.asarray(sj)
-        m = si >= 0
-        si, sj = si[m], sj[m]
+    for start, words, vwords, si, sj in _iter_tile_seeds(
+        chrom, prm, k, tile_bases, overlap, seed_cap, "LTR finder"
+    ):
         if si.size == 0:
             continue
         chains = native.chain_anchors(

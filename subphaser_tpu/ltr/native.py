@@ -138,12 +138,26 @@ def load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.sp_lis.restype = ctypes.c_int64
+        lib.sp_lis.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
         return lib
 
 
 def _u8ptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+_LTR_FIELDS = {name for name, _t in LtrParams._fields_}
+
+
+def _ltr_params(params: dict) -> LtrParams:
+    """Build the C param struct, ignoring detector-level keys (e.g. the
+    device seeding 'seed'/'min_score' params) the native layer doesn't take."""
+    return LtrParams(**{k: v for k, v in params.items() if k in _LTR_FIELDS})
 
 
 def banded_identity(a: np.ndarray, b: np.ndarray, band: int = 30) -> float:
@@ -197,6 +211,19 @@ def pack_body(raw: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
     return packed, vmask, int(n)
 
 
+def lis_indices(t: np.ndarray) -> np.ndarray:
+    """Indices of the longest strictly-increasing subsequence of ``t``
+    (int64; input order = (q, t)-sorted anchors)."""
+    lib = load()
+    t = np.ascontiguousarray(t, dtype=np.int64)
+    out = np.zeros(max(t.size, 1), dtype=np.int64)
+    n = lib.sp_lis(
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), t.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return out[:n]
+
+
 def refine_ltr(seq_codes: np.ndarray, seed_i: np.ndarray, seed_j: np.ndarray,
                params: dict, out_cap: int = 1 << 16) -> np.ndarray:
     """seq_codes: uint8 (0..3, >=4 N). Returns structured array of candidates."""
@@ -204,7 +231,7 @@ def refine_ltr(seq_codes: np.ndarray, seed_i: np.ndarray, seed_j: np.ndarray,
     seq = np.ascontiguousarray(seq_codes, dtype=np.uint8)
     si = np.ascontiguousarray(seed_i, dtype=np.int32)
     sj = np.ascontiguousarray(seed_j, dtype=np.int32)
-    prm = LtrParams(**params)
+    prm = _ltr_params(params)
     out = (LtrOut * out_cap)()
     n = lib.sp_refine_ltr(
         _u8ptr(seq), seq.size,
@@ -237,7 +264,7 @@ def finder_ltr(seq_codes: np.ndarray, ls: np.ndarray, le: np.ndarray,
     a_le = np.ascontiguousarray(le, dtype=np.int64)
     a_rs = np.ascontiguousarray(rs, dtype=np.int64)
     a_re = np.ascontiguousarray(re, dtype=np.int64)
-    prm = LtrParams(**params)
+    prm = _ltr_params(params)
     out = (FinderOut * out_cap)()
     i64p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
     n = lib.sp_finder_ltr(

@@ -34,9 +34,14 @@ def sampled_anchors(words, vwords, *, k: int, n_pos_words: int, mod: int, cap: i
     pos = w * 16 + p
     take = (canon != SENTINEL) & (canon % mod == 0)
     flat = take.reshape(-1)
-    n_total = jnp.sum(flat)
-    (sel,) = jnp.where(flat, size=cap, fill_value=flat.shape[0])
-    valid = sel < flat.shape[0]
+    # compaction by cumsum + searchsorted (jnp.where(size=) lowers through a
+    # full-length scatter-add; see ltr/detect.seed_pairs for the measured
+    # costs of the two formulations)
+    csum = jnp.cumsum(flat.astype(jnp.int32))
+    n_total = csum[-1]
+    targets = jnp.arange(1, cap + 1, dtype=jnp.int32)
+    sel = jnp.searchsorted(csum, targets)
+    valid = targets <= n_total
     sel_c = jnp.minimum(sel, flat.shape[0] - 1)
     out_c = jnp.where(valid, canon.reshape(-1)[sel_c], SENTINEL)
     out_p = jnp.where(valid, pos.reshape(-1)[sel_c], -1)
@@ -44,42 +49,93 @@ def sampled_anchors(words, vwords, *, k: int, n_pos_words: int, mod: int, cap: i
     return out_c, out_p, out_s, n_total
 
 
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _slice3(c, p, s, start, chunk: int):
+    """Fixed-size download window at a dynamic start (one cached program
+    per (cap, chunk) covers every anchor count)."""
+    return (
+        jax.lax.dynamic_slice(c, (start,), (chunk,)),
+        jax.lax.dynamic_slice(p, (start,), (chunk,)),
+        jax.lax.dynamic_slice(s, (start,), (chunk,)),
+    )
+
+
+ANCHOR_DOWNLOAD_CHUNK = 1 << 17
+
+
 def chrom_anchors(
     chrom: PackedChromosome, k: int = 15, mod: int = 16,
     tile_bases: int = 1 << 23,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Sampled anchors for a whole chromosome (host-concatenated tiles)."""
+    """Sampled anchors for a whole chromosome.
+
+    Tiles go through a dispatch-ahead window (compute overlaps the remote
+    tunnel's downloads) and only ceil(n_total / chunk) windows of each
+    anchor array cross the link; cap overflows retry with 4x the room
+    instead of truncating seeds.
+    """
+    from collections import deque
+
+    from subphaser_tpu.utils.log import logger
+
     n_pos_words = tile_bases // 16
     n_words = tile_words_for(tile_bases, k)
-    # expected anchors ~= tile/mod; 25% headroom (cap directly sizes the
-    # device->host transfer through the tunnel)
-    cap = tile_bases // mod + tile_bases // (mod * 4)
-    codes, poss, strands = [], [], []
-    for start in range(0, chrom.length, tile_bases):
+    # expected anchors ~= tile/mod (pow2 so the download chunk divides it)
+    base_cap = max(tile_bases // mod * 2, 1 << 12)
+
+    def dispatch(start, cap):
         w0 = start // 16
         words = np.zeros(n_words, dtype=np.int32)
         vwords = np.zeros(n_words, dtype=np.int32)
         avail = min(n_words, chrom.packed.shape[0] - w0)
         if avail <= 0:
-            continue
+            return None
         words[:avail] = chrom.packed[w0 : w0 + avail]
         vwords[:avail] = chrom.vmask[w0 : w0 + avail]
         c, p, s, n_total = sampled_anchors(
             words, vwords, k=k, n_pos_words=n_pos_words, mod=mod, cap=cap
         )
-        if int(n_total) > cap:
-            from subphaser_tpu.utils.log import logger
+        return [start, c, p, s, n_total, cap]
 
+    def collect(entry):
+        start, c, p, s, n_total, cap = entry
+        n = int(n_total)
+        while n > cap and cap < (1 << 24):
+            cap *= 4
+            start, c, p, s, n_total, cap = dispatch(start, cap)
+            n = int(n_total)
+        if n > cap:
             logger.warning(
                 "anchor cap overflow on %s @%d: %d sampled > cap %d; "
                 "alignment seeds truncated",
-                chrom.name, start, int(n_total), cap,
+                chrom.name, start, n, cap,
             )
-        c, p, s = np.asarray(c), np.asarray(p), np.asarray(s)
-        m = c != SENTINEL
-        codes.append(c[m])
-        poss.append(p[m] + start)
-        strands.append(s[m])
+            n = cap
+        chunk = min(ANCHOR_DOWNLOAD_CHUNK, cap)  # both pow2: chunk divides cap
+        n_chunks = max(1, -(-n // chunk))
+        parts = [
+            _slice3(c, p, s, np.int32(i * chunk), chunk)
+            for i in range(n_chunks)
+        ]
+        ch = np.concatenate([np.asarray(x[0]) for x in parts])
+        ph = np.concatenate([np.asarray(x[1]) for x in parts])
+        sh = np.concatenate([np.asarray(x[2]) for x in parts])
+        m = ch != SENTINEL
+        return ch[m], ph[m] + start, sh[m]
+
+    codes, poss, strands = [], [], []
+    window: deque = deque()
+    for start in range(0, chrom.length, tile_bases):
+        entry = dispatch(start, base_cap)
+        if entry is None:
+            continue
+        window.append(entry)
+        if len(window) > 3:
+            c, p, s = collect(window.popleft())
+            codes.append(c); poss.append(p); strands.append(s)
+    while window:
+        c, p, s = collect(window.popleft())
+        codes.append(c); poss.append(p); strands.append(s)
     if not codes:
         return (np.zeros(0, np.int32),) * 3
     return (
@@ -116,8 +172,15 @@ def match_anchors(
         return np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int32)
     counts = runs[idx_q]
     q_rep = np.repeat(idx_q, counts)
-    t_flat = np.concatenate(
-        [np.arange(l, h) for l, h in zip(lo[idx_q], hi[idx_q])]
-    )
+    # vectorized range expansion: concatenate(arange(l, h) for each run)
+    # without the per-run Python loop (it cost tens of seconds at ~1M runs)
+    starts = lo[idx_q].astype(np.int64)
+    total = int(counts.sum())
+    step = np.ones(total, dtype=np.int64)
+    csum = np.cumsum(counts)
+    step[0] = starts[0]
+    if counts.size > 1:
+        step[csum[:-1]] = starts[1:] - (starts[:-1] + counts[:-1] - 1)
+    t_flat = np.cumsum(step)
     rel = (qs[q_rep] != ts_s[t_flat]).astype(np.int32)  # 1 = opposite strand
     return qp[q_rep], tp_s[t_flat], rel
