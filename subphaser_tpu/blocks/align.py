@@ -69,8 +69,10 @@ def align_pair(
             if emit_cs:
                 # minimap2-style cs:Z: short tag (reference Paf.py:155-293
                 # consumes it for variant calls): anchors give ':' runs,
-                # inter-anchor gaps are banded-DP aligned base-level
-                from subphaser_tpu.blocks import cs as csmod
+                # inter-anchor gaps are banded-DP aligned base-level —
+                # the whole walk runs in ONE native call (sp_build_cs; the
+                # per-anchor Python loop cost ~50 s on chromosome blocks)
+                from subphaser_tpu.ltr.native import build_cs_native
 
                 sel = (
                     (qq >= c["q_start"]) & (qq < c["q_end"])
@@ -84,20 +86,14 @@ def align_pair(
                 aq_, at_ = aq_[o], at_[o]
                 aq_, at_ = _lis_anchors(aq_, at_)
                 tgt = t_codes if strand_flag == 0 else trc
-                ops = csmod.build_cs(
+                cs_text, nmatch, alen_total = build_cs_native(
                     q_codes, tgt, aq_, at_,
                     int(c["q_start"]), int(c["q_end"]),
                     int(c["t_start"]), int(c["t_end"]), k,
+                    minus=strand_flag == 1,
                 )
-                if strand_flag == 1:
-                    ops = csmod.minus_transform(ops)
-                tags["cs"] = csmod.format_cs(ops)
-                nmatch = sum(v for key, v in ops if key == ":")
-                alen_total = nmatch + sum(
-                    1 if key == "*" else len(v)
-                    for key, v in ops
-                    if key in "*+-"
-                )
+                tags["cs"] = cs_text
+                alen_total = max(alen_total, 1)
             records.append(
                 PafRecord(
                     qname=qname, qlen=q.length,

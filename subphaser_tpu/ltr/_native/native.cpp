@@ -717,6 +717,174 @@ int sp_banded_align_ops(const uint8_t* a, int la, const uint8_t* b, int lb,
 }
 
 // ---------------------------------------------------------------------------
+// sp_build_cs: minimap2-style cs:Z: short-tag text for one anchor-chained
+// block (replaces the per-anchor Python loop in blocks/cs.build_cs, which
+// cost ~50 s on ~500k-anchor chromosome-scale homoeologous blocks).
+//
+// q/t are uint8 base codes (0..3, >=4 = N) in the alignment's own
+// orientation; anchors (aq, at) are k-mer start pairs sorted by aq and
+// colinear. Anchor k-mers emit ':' runs; inter-anchor gaps <= 65536 bp go
+// through the banded aligner above, longer gaps emit raw -/+ runs. With
+// minus != 0 the runs are emitted target-forward (order reversed, carried
+// sequences reverse-complemented) — blocks/cs.minus_transform semantics.
+//
+// Writes NUL-terminated cs text to out (returns text length, or -1 when
+// out_cap is too small); *nmatch_out = total ':' length, *alen_out =
+// nmatch + substitutions + inserted + deleted bases.
+// ---------------------------------------------------------------------------
+static const char* kBase = "acgtn";
+static inline char comp_ch(char c) {
+  switch (c) {
+    case 'a': return 't';
+    case 'c': return 'g';
+    case 'g': return 'c';
+    case 't': return 'a';
+    default: return 'n';
+  }
+}
+
+struct CsRun {
+  char op;          // ':', '*', '+', '-'
+  int64_t len;      // for ':'
+  std::string seq;  // for '*' (2 chars: target, query), '+', '-'
+};
+
+static void cs_push_match(std::vector<CsRun>& runs, int64_t n) {
+  if (n <= 0) return;
+  if (!runs.empty() && runs.back().op == ':') runs.back().len += n;
+  else runs.push_back({':', n, std::string()});
+}
+
+static void cs_emit_diag(std::vector<CsRun>& runs, const uint8_t* q,
+                         const uint8_t* t, int64_t qpos, int64_t tpos,
+                         int64_t n) {
+  int64_t i = 0;
+  while (i < n) {
+    uint8_t qb = q[qpos + i], tb = t[tpos + i];
+    if (qb == tb && qb < 4) {
+      int64_t j = i;
+      while (j < n && q[qpos + j] == t[tpos + j] && q[qpos + j] < 4) ++j;
+      cs_push_match(runs, j - i);
+      i = j;
+    } else {
+      std::string s;
+      s.push_back(kBase[tb < 4 ? tb : 4]);
+      s.push_back(kBase[qb < 4 ? qb : 4]);
+      runs.push_back({'*', 0, s});
+      ++i;
+    }
+  }
+}
+
+static void cs_seq(std::string& out, const uint8_t* p, int64_t lo, int64_t hi) {
+  out.reserve(out.size() + (hi - lo));
+  for (int64_t i = lo; i < hi; ++i) out.push_back(kBase[p[i] < 4 ? p[i] : 4]);
+}
+
+static void cs_gap(std::vector<CsRun>& runs, const uint8_t* q, const uint8_t* t,
+                   int64_t q0, int64_t q1, int64_t t0, int64_t t1,
+                   std::vector<int32_t>& buf) {
+  int64_t qlen = q1 - q0, tlen = t1 - t0;
+  if (qlen <= 0 && tlen <= 0) return;
+  const int64_t kMaxGapDp = 1 << 16;
+  if (qlen > kMaxGapDp || tlen > kMaxGapDp) {
+    if (tlen > 0) { CsRun r{'-', 0, std::string()}; cs_seq(r.seq, t, t0, t1); runs.push_back(std::move(r)); }
+    if (qlen > 0) { CsRun r{'+', 0, std::string()}; cs_seq(r.seq, q, q0, q1); runs.push_back(std::move(r)); }
+    return;
+  }
+  int band = (int)std::abs(qlen - tlen) + 32;
+  int64_t cap = 2 * (qlen + tlen) + 16;
+  if ((int64_t)buf.size() < 2 * cap) buf.resize(2 * cap);
+  int n = sp_banded_align_ops(q + q0, (int)qlen, t + t0, (int)tlen, band,
+                              buf.data(), (int)cap);
+  if (n < 0) {  // fallback: raw runs
+    if (tlen > 0) { CsRun r{'-', 0, std::string()}; cs_seq(r.seq, t, t0, t1); runs.push_back(std::move(r)); }
+    if (qlen > 0) { CsRun r{'+', 0, std::string()}; cs_seq(r.seq, q, q0, q1); runs.push_back(std::move(r)); }
+    return;
+  }
+  int64_t qp = q0, tp = t0;
+  for (int i = 0; i < n; ++i) {
+    int op = buf[2 * i];
+    int64_t ln = buf[2 * i + 1];
+    if (op == 0) {
+      cs_emit_diag(runs, q, t, qp, tp, ln);
+      qp += ln; tp += ln;
+    } else if (op == 1) {
+      CsRun r{'+', 0, std::string()}; cs_seq(r.seq, q, qp, qp + ln);
+      runs.push_back(std::move(r)); qp += ln;
+    } else {
+      CsRun r{'-', 0, std::string()}; cs_seq(r.seq, t, tp, tp + ln);
+      runs.push_back(std::move(r)); tp += ln;
+    }
+  }
+}
+
+int64_t sp_build_cs(const uint8_t* q, int64_t /*qlen_total*/,
+                    const uint8_t* t, int64_t /*tlen_total*/,
+                    const int64_t* aq, const int64_t* at, int64_t n_anchors,
+                    int64_t qstart, int64_t qend, int64_t tstart, int64_t tend,
+                    int k, int minus, char* out, int64_t out_cap,
+                    int64_t* nmatch_out, int64_t* alen_out) {
+  std::vector<CsRun> runs;
+  runs.reserve(1024);
+  std::vector<int32_t> buf;
+  int64_t cq = qstart, ct = tstart;
+  for (int64_t i = 0; i < n_anchors; ++i) {
+    int64_t x = aq[i], y = at[i];
+    if (x < cq || y < ct) continue;  // overlaps previous anchor
+    cs_gap(runs, q, t, cq, x, ct, y, buf);
+    cs_push_match(runs, k);
+    cq = x + k; ct = y + k;
+  }
+  if (cq <= qend && ct <= tend) cs_gap(runs, q, t, cq, qend, ct, tend, buf);
+
+  if (minus) {
+    std::vector<CsRun> rev;
+    rev.reserve(runs.size());
+    for (auto it = runs.rbegin(); it != runs.rend(); ++it) {
+      CsRun r{it->op, it->len, std::string()};
+      if (it->op == '*') {
+        // payload is (target, query): complement both, keep order
+        r.seq.push_back(comp_ch(it->seq[0]));
+        r.seq.push_back(comp_ch(it->seq[1]));
+      } else if (it->op != ':') {
+        r.seq.reserve(it->seq.size());
+        for (auto ch = it->seq.rbegin(); ch != it->seq.rend(); ++ch)
+          r.seq.push_back(comp_ch(*ch));
+      }
+      // merge adjacent ':' runs created by the reversal
+      if (r.op == ':' && !rev.empty() && rev.back().op == ':') rev.back().len += r.len;
+      else rev.push_back(std::move(r));
+    }
+    runs.swap(rev);
+  }
+
+  int64_t nmatch = 0, alen = 0, pos = 0;
+  char tmp[32];
+  for (const auto& r : runs) {
+    if (r.op == ':') {
+      nmatch += r.len;
+      alen += r.len;
+      int m = snprintf(tmp, sizeof(tmp), ":%lld", (long long)r.len);
+      if (pos + m >= out_cap) return -1;
+      std::memcpy(out + pos, tmp, m);
+      pos += m;
+    } else {
+      alen += r.op == '*' ? 1 : (int64_t)r.seq.size();
+      int64_t need = 1 + (int64_t)r.seq.size();
+      if (pos + need >= out_cap) return -1;
+      out[pos++] = r.op;
+      std::memcpy(out + pos, r.seq.data(), r.seq.size());
+      pos += r.seq.size();
+    }
+  }
+  out[pos] = '\0';
+  if (nmatch_out) *nmatch_out = nmatch;
+  if (alen_out) *alen_out = alen;
+  return pos;
+}
+
+// ---------------------------------------------------------------------------
 // sp_lis: longest strictly-increasing subsequence of t (patience sort,
 // O(n log n)). Input anchors must be sorted by (q, t). Writes the kept
 // indices to idx_out (caller-sized to n) and returns their count.

@@ -143,6 +143,17 @@ def load():
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.sp_build_cs.restype = ctypes.c_int64
+        lib.sp_build_cs.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
         return lib
 
@@ -209,6 +220,36 @@ def pack_body(raw: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
         packed = np.ascontiguousarray(packed[:n_words])
         vmask = np.ascontiguousarray(vmask[:n_words])
     return packed, vmask, int(n)
+
+
+def build_cs_native(
+    q: np.ndarray, t: np.ndarray, aq: np.ndarray, at: np.ndarray,
+    qstart: int, qend: int, tstart: int, tend: int, k: int,
+    minus: bool = False,
+) -> tuple[str, int, int]:
+    """cs:Z: text for one anchor-chained block -> (cs, nmatch, alen).
+
+    One native call replaces the per-anchor Python loop of
+    blocks/cs.build_cs (identical text; parity-tested)."""
+    lib = load()
+    q = np.ascontiguousarray(q, dtype=np.uint8)
+    t = np.ascontiguousarray(t, dtype=np.uint8)
+    aq = np.ascontiguousarray(aq, dtype=np.int64)
+    at = np.ascontiguousarray(at, dtype=np.int64)
+    cap = 4 * (int(qend - qstart) + int(tend - tstart)) + 1024
+    out = ctypes.create_string_buffer(cap)
+    nmatch = ctypes.c_int64(0)
+    alen = ctypes.c_int64(0)
+    i64p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
+    n = lib.sp_build_cs(
+        _u8ptr(q), q.size, _u8ptr(t), t.size,
+        i64p(aq), i64p(at), aq.size,
+        qstart, qend, tstart, tend, k, 1 if minus else 0,
+        out, cap, ctypes.byref(nmatch), ctypes.byref(alen),
+    )
+    if n < 0:
+        raise RuntimeError("sp_build_cs: output buffer too small")
+    return out.value.decode(), int(nmatch.value), int(alen.value)
 
 
 def lis_indices(t: np.ndarray) -> np.ndarray:

@@ -213,3 +213,55 @@ def test_cs_emission_minus_strand():
     assert hit, (subs[:5], tpos_expect)
     assert hit[0][1] == base[hit[0][0]].upper()
     assert hit[0][2] == comp[q[20_000]].upper()
+
+
+def test_build_cs_native_matches_python():
+    """sp_build_cs must emit exactly the Python cs-builder's text (both
+    orientations), including substitutions, indels, DP'd gaps, N handling."""
+    import numpy as np
+
+    from subphaser_tpu.blocks import cs as csmod
+    from subphaser_tpu.ltr.native import build_cs_native
+
+    rng = np.random.default_rng(23)
+    k = 7
+    for trial in range(8):
+        n = int(rng.integers(300, 1200))
+        q = rng.integers(0, 4, n).astype(np.uint8)
+        # target = query with noise: substitutions, a deletion, an insertion, Ns
+        t = q.copy()
+        sub = rng.random(n) < 0.05
+        t[sub] = (t[sub] + rng.integers(1, 4, int(sub.sum()))) % 4
+        t[rng.integers(0, n, 3)] = 4  # N
+        cut = int(rng.integers(50, n - 60))
+        t = np.concatenate([t[:cut], t[cut + 5 :]])  # 5-bp deletion in t
+        ins = int(rng.integers(30, 40))
+        t = np.concatenate([t[:ins], rng.integers(0, 4, 4).astype(np.uint8), t[ins:]])
+        # anchors: exact k-mer matches on a sampled grid
+        aq, at = [], []
+        off = 0
+        for x in range(0, min(len(q), len(t)) - k, 37):
+            y = x + (4 if x >= ins else 0) - (5 if x >= cut + 4 else 0)
+            if 0 <= y <= len(t) - k and np.array_equal(q[x : x + k], t[y : y + k]):
+                aq.append(x)
+                at.append(y)
+        if len(aq) < 3:
+            continue
+        aq = np.array(aq, dtype=np.int64)
+        at = np.array(at, dtype=np.int64)
+        qs, qe = int(aq[0]), int(aq[-1]) + k
+        ts, te = int(at[0]), int(at[-1]) + k
+        for minus in (False, True):
+            ops = csmod.build_cs(q, t, aq, at, qs, qe, ts, te, k)
+            if minus:
+                ops = csmod.minus_transform(ops)
+            want = csmod.format_cs(ops)
+            want_nmatch = sum(v for key, v in ops if key == ":")
+            want_alen = want_nmatch + sum(
+                1 if key == "*" else len(v) for key, v in ops if key in "*+-"
+            )
+            got, nmatch, alen = build_cs_native(
+                q, t, aq, at, qs, qe, ts, te, k, minus=minus
+            )
+            assert got == want, f"trial {trial} minus={minus}"
+            assert nmatch == want_nmatch and alen == want_alen
