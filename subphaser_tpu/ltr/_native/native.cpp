@@ -825,18 +825,46 @@ int64_t sp_build_cs(const uint8_t* q, int64_t /*qlen_total*/,
                     int64_t qstart, int64_t qend, int64_t tstart, int64_t tend,
                     int k, int minus, char* out, int64_t out_cap,
                     int64_t* nmatch_out, int64_t* alen_out) {
-  std::vector<CsRun> runs;
-  runs.reserve(1024);
-  std::vector<int32_t> buf;
+  // pass 1: anchor walk -> gap tasks (each gap is independent DP work;
+  // the banded alignments dominate, so they run under OpenMP)
+  struct GapTask { int64_t q0, q1, t0, t1; };
+  std::vector<GapTask> gaps;
+  std::vector<char> has_match;  // gap i is followed by a ':k' anchor match?
+  gaps.reserve(4096);
   int64_t cq = qstart, ct = tstart;
   for (int64_t i = 0; i < n_anchors; ++i) {
     int64_t x = aq[i], y = at[i];
     if (x < cq || y < ct) continue;  // overlaps previous anchor
-    cs_gap(runs, q, t, cq, x, ct, y, buf);
-    cs_push_match(runs, k);
+    gaps.push_back({cq, x, ct, y});
+    has_match.push_back(1);
     cq = x + k; ct = y + k;
   }
-  if (cq <= qend && ct <= tend) cs_gap(runs, q, t, cq, qend, ct, tend, buf);
+  if (cq <= qend && ct <= tend) {
+    gaps.push_back({cq, qend, ct, tend});
+    has_match.push_back(0);
+  }
+
+  std::vector<std::vector<CsRun>> gap_runs(gaps.size());
+#pragma omp parallel
+  {
+    std::vector<int32_t> buf;
+#pragma omp for schedule(dynamic, 16)
+    for (int64_t i = 0; i < (int64_t)gaps.size(); ++i) {
+      const GapTask& g = gaps[i];
+      cs_gap(gap_runs[i], q, t, g.q0, g.q1, g.t0, g.t1, buf);
+    }
+  }
+
+  // pass 2: in-order stitch with the same ':'-merge the sequential walk did
+  std::vector<CsRun> runs;
+  runs.reserve(4096);
+  for (size_t i = 0; i < gaps.size(); ++i) {
+    for (auto& r : gap_runs[i]) {
+      if (r.op == ':') cs_push_match(runs, r.len);
+      else runs.push_back(std::move(r));
+    }
+    if (has_match[i]) cs_push_match(runs, k);
+  }
 
   if (minus) {
     std::vector<CsRun> rev;

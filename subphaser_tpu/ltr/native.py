@@ -75,10 +75,16 @@ class ChainOut(ctypes.Structure):
 
 
 def _build() -> None:
-    subprocess.run(
-        ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _SO, _SRC],
-        check=True,
-    )
+    # -fopenmp: sp_build_cs parallelizes its independent gap alignments;
+    # fall back to a serial build on toolchains without OpenMP
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-fopenmp",
+           "-o", _SO, _SRC]
+    r = subprocess.run(cmd, capture_output=True)
+    if r.returncode != 0:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _SO, _SRC],
+            check=True,
+        )
 
 
 def load():
