@@ -22,11 +22,22 @@ from subphaser_tpu.ops.anchors import chrom_anchors, match_anchors
 from subphaser_tpu.utils.log import logger
 
 
+def _decode_chrom(c) -> np.ndarray:
+    from subphaser_tpu.io.encoding import unpack_words
+
+    codes, valid = unpack_words(c.packed, c.vmask, c.length)
+    return np.where(valid.astype(bool), codes, np.uint8(4)).astype(np.uint8)
+
+
 def align_pair(
     genome: PackedGenome, qname: str, tname: str, k: int = 15, mod: int = 16,
     max_gap: int = 100_000, min_block: int = 20_000, min_anchors: int = 10,
-    emit_cs: bool = True,
+    emit_cs: bool = True, decode_cache: dict | None = None,
 ) -> list[PafRecord]:
+    """``decode_cache`` (optional, managed by run_align) memoizes decoded
+    chromosome codes across the pairs a chromosome participates in; the
+    reverse-complemented target is built lazily, only when a minus-strand
+    chain exists."""
     q = genome.chrom(qname)
     t = genome.chrom(tname)
     qc, qp, qs = chrom_anchors(q, k=k, mod=mod)
@@ -34,17 +45,13 @@ def align_pair(
     qpos, tpos, rel = match_anchors(qc, qp, qs, tc, tp, ts)
     q_codes = t_codes = trc = None
     if emit_cs:
-        from subphaser_tpu.io.encoding import unpack_words
-
-        def decode(c):
-            codes, valid = unpack_words(c.packed, c.vmask, c.length)
-            return np.where(valid.astype(bool), codes, np.uint8(4)).astype(
-                np.uint8
-            )
-
-        q_codes = decode(q)
-        t_codes = decode(t)
-        trc = np.where(t_codes < 4, 3 - t_codes, 4).astype(np.uint8)[::-1]
+        cache = decode_cache if decode_cache is not None else {}
+        if qname not in cache:
+            cache[qname] = _decode_chrom(q)
+        if tname not in cache:
+            cache[tname] = _decode_chrom(t)
+        q_codes = cache[qname]
+        t_codes = cache[tname]
     records: list[PafRecord] = []
     for strand_flag, sym in ((0, "+"), (1, "-")):
         m = rel == strand_flag
@@ -85,6 +92,10 @@ def align_pair(
                 o = np.lexsort((at_, aq_))
                 aq_, at_ = aq_[o], at_[o]
                 aq_, at_ = _lis_anchors(aq_, at_)
+                if strand_flag == 1 and trc is None:
+                    trc = np.ascontiguousarray(
+                        np.where(t_codes < 4, 3 - t_codes, 4).astype(np.uint8)[::-1]
+                    )
                 tgt = t_codes if strand_flag == 0 else trc
                 cs_text, nmatch, alen_total = build_cs_native(
                     q_codes, tgt, aq_, at_,
@@ -142,6 +153,9 @@ def run_align(
     have = set(genome.names)
     pafs = []
     for sg in alt_sgs:
+        # decoded chromosomes are reused across this homoeologous set's
+        # pairs and dropped afterwards (bounds host memory to one set)
+        decode_cache: dict = {}
         for col1, col2 in combinations(sg, 2):
             for chr1, chr2 in product(col1, col2):
                 if chr1 not in have or chr2 not in have:
@@ -153,6 +167,7 @@ def run_align(
                 recs = align_pair(
                     genome, chr1, chr2, k=k, mod=mod,
                     min_block=max(min_block // 5, 10_000),
+                    decode_cache=decode_cache,
                 )
                 with open(out, "w") as f:
                     for r in recs:

@@ -22,7 +22,8 @@ from subphaser_tpu.ltr import native
 _DECODE = np.frombuffer(b"acgtn", dtype=np.uint8)
 _COMP = {"a": "t", "c": "g", "g": "c", "t": "a", "n": "n"}
 
-MAX_GAP_DP = 1 << 16  # beyond this, emit raw -/+ runs instead of a DP
+MAX_GAP_DP = 1 << 16    # beyond this, emit raw -/+ runs instead of a DP
+MAX_GAP_DIFF = 1 << 12  # beyond this length ASYMMETRY, same (band blowup)
 
 
 def _seq(codes: np.ndarray, lo: int, hi: int) -> str:
@@ -63,7 +64,9 @@ def _gap(ops: list, q: np.ndarray, t: np.ndarray, q0: int, q1: int,
     qlen, tlen = q1 - q0, t1 - t0
     if qlen == 0 and tlen == 0:
         return
-    if max(qlen, tlen) > MAX_GAP_DP:
+    # very asymmetric gaps would need a multi-GB traceback (band >=
+    # |qlen - tlen|) — emit raw runs, mirroring the native builder
+    if max(qlen, tlen) > MAX_GAP_DP or abs(qlen - tlen) > MAX_GAP_DIFF:
         if tlen:
             ops.append(("-", _seq(t, t0, t1)))
         if qlen:

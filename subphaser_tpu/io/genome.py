@@ -70,19 +70,22 @@ class PackedChromosome:
         return cls.from_bytes(name, np.frombuffer(seq.encode(), dtype=np.uint8))
 
     def signature(self) -> str:
-        """Fast content fingerprint for checkpoint keys: length + a strided
-        sample of packed words. Lets per-chromosome spectra survive changes
-        to the TARGET SET (the reference's -re_filter workflow,
-        __main__.py:100-102, 352-354) while still invalidating when the
-        underlying sequence differs."""
+        """Content fingerprint for checkpoint keys: lets per-chromosome
+        spectra survive changes to the TARGET SET (the reference's
+        -re_filter workflow, __main__.py:100-102, 352-354) while
+        invalidating when the underlying sequence differs.
+
+        Hashes the FULL packed words AND validity masks (blake2b streams
+        ~1 GB/s, ~0.3 s per 667 Mb chromosome): a strided sample would
+        silently reuse a stale spectrum after a same-length base edit or a
+        re-masking (N changes touch only vmask)."""
         import hashlib
 
-        step = max(1, self.packed.shape[0] // 4096)
-        sample = np.ascontiguousarray(self.packed[::step])
-        h = hashlib.sha256()
+        h = hashlib.blake2b(digest_size=16)
         h.update(str(self.length).encode())
-        h.update(sample.tobytes())
-        return h.hexdigest()[:16]
+        h.update(np.ascontiguousarray(self.packed).tobytes())
+        h.update(np.ascontiguousarray(self.vmask).tobytes())
+        return h.hexdigest()
 
     def to_seq(self) -> str:
         """Reconstruct the sequence (ambiguous bases come back as 'N')."""

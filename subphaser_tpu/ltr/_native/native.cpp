@@ -578,14 +578,6 @@ int sp_nj_tree(const double* dist, int32_t n, const char* names_blob,
 
 
 // ---------------------------------------------------------------------------
-// banded global alignment emitting CIGAR-style runs for PAF cs strings
-// (role of minimap2 --cs, consumed by the reference's CsBlocks parser,
-// Paf.py:171-262). a = query codes, b = target codes (0-3; 4 = N).
-// ops_out holds (op, len) int32 pairs: 0 = diagonal (M; the caller splits
-// into ':' runs and '*' SNPs by comparing bases), 1 = query-only
-// (cs '+', insertion), 2 = target-only (cs '-', deletion).
-// Returns the number of pairs, or -1 when max_ops is too small.
-// ---------------------------------------------------------------------------
 // banded global AFFINE-gap alignment emitting CIGAR-style runs for PAF cs
 // strings (role of minimap2 --cs, consumed by the reference's CsBlocks
 // parser, Paf.py:171-262). a = query codes, b = target codes (0-3; 4 = N).
@@ -787,7 +779,13 @@ static void cs_gap(std::vector<CsRun>& runs, const uint8_t* q, const uint8_t* t,
   int64_t qlen = q1 - q0, tlen = t1 - t0;
   if (qlen <= 0 && tlen <= 0) return;
   const int64_t kMaxGapDp = 1 << 16;
-  if (qlen > kMaxGapDp || tlen > kMaxGapDp) {
+  // the banded DP's traceback matrix is (la+1) x (2*band+1) with
+  // band >= |qlen-tlen|; a very asymmetric gap (one-sided insertion)
+  // would allocate gigabytes and burn minutes — emit raw runs instead,
+  // like minimap2 does for structural-variant-scale gaps
+  const int64_t kMaxGapDiff = 1 << 12;
+  if (qlen > kMaxGapDp || tlen > kMaxGapDp ||
+      std::abs(qlen - tlen) > kMaxGapDiff) {
     if (tlen > 0) { CsRun r{'-', 0, std::string()}; cs_seq(r.seq, t, t0, t1); runs.push_back(std::move(r)); }
     if (qlen > 0) { CsRun r{'+', 0, std::string()}; cs_seq(r.seq, q, q0, q1); runs.push_back(std::move(r)); }
     return;
@@ -961,23 +959,29 @@ int64_t sp_lis(const int64_t* t, int64_t n, int64_t* idx_out) {
 // since newline bytes only shrink the base count). Returns the number of
 // bases written.
 // ---------------------------------------------------------------------------
-int64_t sp_pack_body(const uint8_t* body, int64_t n, int32_t* packed,
-                     int32_t* vmask) {
-  static uint8_t code_lut[256];
-  static uint8_t valid_lut[256];
-  static bool lut_init = false;
-  if (!lut_init) {
-    std::memset(code_lut, 0, sizeof(code_lut));
-    std::memset(valid_lut, 0, sizeof(valid_lut));
+struct PackLut {
+  uint8_t code[256];
+  uint8_t valid[256];
+  PackLut() {
+    std::memset(code, 0, sizeof(code));
+    std::memset(valid, 0, sizeof(valid));
     const char* bases = "ACGT";
     for (int i = 0; i < 4; ++i) {
-      code_lut[(uint8_t)bases[i]] = (uint8_t)i;
-      code_lut[(uint8_t)(bases[i] + 32)] = (uint8_t)i;
-      valid_lut[(uint8_t)bases[i]] = 1;
-      valid_lut[(uint8_t)(bases[i] + 32)] = 1;
+      code[(uint8_t)bases[i]] = (uint8_t)i;
+      code[(uint8_t)(bases[i] + 32)] = (uint8_t)i;
+      valid[(uint8_t)bases[i]] = 1;
+      valid[(uint8_t)(bases[i] + 32)] = 1;
     }
-    lut_init = true;
   }
+};
+
+int64_t sp_pack_body(const uint8_t* body, int64_t n, int32_t* packed,
+                     int32_t* vmask) {
+  // C++11 magic static: thread-safe one-time init (pack_body is called
+  // concurrently from the packing thread pool)
+  static const PackLut lut;
+  const uint8_t* code_lut = lut.code;
+  const uint8_t* valid_lut = lut.valid;
   uint32_t word = 0, vbits = 0;
   int shift = 0;
   int64_t nbases = 0, w = 0;

@@ -216,7 +216,7 @@ class Pipeline:
             genome, self.k, lower_count=self.lower_count,
             tile_bases=self.tile_bases, device_budget=device_budget,
             batch_tiles=batch_tiles, checkpoint=self.ckp,
-            genome_id=self._genome_id, mesh=self.mesh,
+            mesh=self.mesh,
         )
 
         # differential filter
@@ -273,10 +273,13 @@ class Pipeline:
             )
         logger.info("Wrote %s", sg_kmers)
 
-        if not self.just_core and self.k <= 15 and self._map_use_dense():
+        if (not self.just_core and self.k <= 15
+                and self._map_use_dense(sig) and self.mesh is None):
             # compile the big mapping program WHILE figures render: the
             # remote first-compile otherwise serializes in front of the
-            # mapping loop (phase/warmup.py rationale)
+            # mapping loop (phase/warmup.py rationale). Mesh runs skip it:
+            # they dispatch a data-sharded program with a rounded-up batch,
+            # so the single-device warm program would never match.
             from subphaser_tpu.phase.warmup import pad_sig_pow2, start_map_warmup
 
             codes_p, sgs_p = pad_sig_pow2(sig.codes, sig.sg)
@@ -339,9 +342,6 @@ class Pipeline:
 
     # ------------------------------------------------------------------
     def _load_genome(self) -> tuple[PackedGenome, list[str]]:
-        import hashlib
-        import json
-
         self.targets = cfgmod.parse_idmap(self.target) or cfgmod.build_targets(
             self.chrs, self.sep
         )
@@ -350,11 +350,6 @@ class Pipeline:
             "targets": list(self.targets.items()),
             "prefixes": self.labels,
         }
-        # digest ties downstream checkpoints (per-chromosome spectra) to the
-        # exact input files so a changed genome invalidates cached counts
-        self._genome_id = hashlib.sha256(
-            json.dumps(params, sort_keys=True, default=str).encode()
-        ).hexdigest()[:16]
         cache = os.path.join(self.tmpdir, "genome.packed.npz")
         if self.ckp.has("genome.packed", params) and os.path.exists(cache):
             genome = PackedGenome.load(cache)
@@ -384,9 +379,20 @@ class Pipeline:
             raise ValueError("0 chromosome remained after filtering. Please check the inputs.")
         return genome, genome.names
 
-    def _map_use_dense(self) -> bool:
+    def _map_use_dense(self, sig=None) -> bool:
         # membership via dense 4^k table only pays off when the genome is
-        # large enough to amortize building it (4 GB at k=15)
+        # large enough to amortize building it (4 GB at k=15); the
+        # composite table value ((idx+1) << SG_BITS | sg) caps the sig
+        # count at 2^(31-SG_BITS)-2 and n_sg at 2^SG_BITS — beyond that
+        # the searchsorted path takes over
+        from subphaser_tpu.ops.mapbins_dense import SG_BITS
+
+        if len(self.sg_names) > (1 << SG_BITS):
+            return False
+        if sig is not None:
+            m_padded = 1 << max(len(sig) - 1, 1).bit_length()
+            if m_padded + 1 >= (1 << (31 - SG_BITS)):
+                return False
         return self.genome.total_bases() >= 50_000_000
 
     def _map_batch(self) -> int:
@@ -429,7 +435,7 @@ class Pipeline:
         # ~8 M lookups/s while a direct gather from a dense 4^k table does
         # ~67 M/s — build the (4^k x int32) table when the genome is large
         # enough to amortize its cost (4 GB at k=15)
-        use_dense = self._map_use_dense()
+        use_dense = self._map_use_dense(sig)
         if use_dense:
             from subphaser_tpu.ops.mapbins_dense import (
                 build_sig_table,
@@ -726,25 +732,12 @@ def _check_duplicates(lst):
 
 
 def _parse_mem(spec) -> int | None:
-    """'32G' / '512M' / '2000000000' -> bytes (None when unset).
+    """warmup.parse_mem with a friendly -max_memory error (single parser —
+    plan_budgets consumes the same string via warmup.parse_mem)."""
+    from subphaser_tpu.phase.warmup import parse_mem
 
-    Mirrors the reference's jellyfish-style memory strings (-max_memory,
-    __main__.py:232-233 passing through to jellyfish/sort)."""
-    if spec is None:
-        return None
-    if isinstance(spec, (int, float)):
-        return int(spec)
-    s = str(spec).strip().upper()
-    mult = 1
-    for suffix, m in (("TB", 1 << 40), ("T", 1 << 40), ("GB", 1 << 30),
-                      ("G", 1 << 30), ("MB", 1 << 20), ("M", 1 << 20),
-                      ("KB", 1 << 10), ("K", 1 << 10), ("B", 1)):
-        if s.endswith(suffix):
-            s = s[: -len(suffix)]
-            mult = m
-            break
     try:
-        return int(float(s) * mult)
+        return parse_mem(spec)
     except ValueError:
         raise ValueError(f"Cannot parse -max_memory value {spec!r}") from None
 

@@ -41,13 +41,14 @@ def count_genome(
     device_budget: int = 1 << 28,
     batch_tiles: int = 4,
     checkpoint=None,
-    genome_id: str | None = None,
     mesh=None,
 ) -> list[ChromSpectrum]:
     """Count canonical k-mers per chromosome on device.
 
-    ``genome_id`` (e.g. an input-file digest) is folded into the checkpoint
-    key so a changed genome invalidates cached spectra.
+    Checkpoints key on each chromosome's full-content signature (not the
+    input-file digest), so a changed TARGET SET reuses every unchanged
+    chromosome's spectrum — the reference's -re_filter workflow
+    (__main__.py:352-354) — while any sequence edit invalidates it.
 
     With ``mesh`` (a 1-D jax Mesh with a "data" axis spanning >1 device),
     each chromosome's tiles are data-sharded and the spectrum is discovered

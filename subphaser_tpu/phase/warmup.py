@@ -182,8 +182,13 @@ def _warm(genome_files, prefixes, targets, k, tile_bases, low_mem, max_memory,
                 parts.append(jnp.asarray(base[ofs : ofs + sz]))
                 ofs += sz
             handles = count_codes_async(parts, lower_count, static_cap)
-            # collect end-to-end: also warms the download-window program
-            count_codes_collect(handles, lower_count)
+            # collect end-to-end: also warms the download-window program.
+            # Random warm data at low lower_count can overflow the static
+            # cap (count_codes_collect would raise without rebuild_parts) —
+            # the real programs are compiled either way, so just skip the
+            # download-window warm for that structure.
+            if int(handles[2]) <= static_cap:
+                count_codes_collect(handles, lower_count)
         logger.info(
             "Warm-compiled counting programs for %d part structure(s) "
             "(padded sizes %s) in %.0fs (overlapped with packing)",
@@ -282,10 +287,19 @@ def start_map_warmup(
 
 
 def join_map_warmup(warm, timeout: float = 600.0):
-    """Wait for a map warm-up and return its sig table (None if it failed)."""
+    """Wait for a map warm-up and return its sig table (None if it failed).
+
+    If the thread is STILL RUNNING after ``timeout`` (very slow remote
+    compile), keep waiting rather than returning None: the caller would
+    build a second 4 GB device table while the warm thread holds the
+    first — a device OOM at k=15."""
     if warm is None:
         return None
-    warm["thread"].join(timeout=timeout)
+    t = warm["thread"]
+    t.join(timeout=timeout)
+    if t.is_alive():
+        logger.info("Map warm-up still compiling after %.0fs; waiting", timeout)
+        t.join()
     return warm.get("table")
 
 
