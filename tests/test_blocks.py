@@ -265,3 +265,22 @@ def test_build_cs_native_matches_python():
             )
             assert got == want, f"trial {trial} minus={minus}"
             assert nmatch == want_nmatch and alen == want_alen
+
+
+def test_anchor_cap_escalation_retry():
+    """chrom_anchors must escalate its per-tile cap (not truncate) when the
+    sampled-anchor density blows past the estimate."""
+    import numpy as np
+
+    from subphaser_tpu.io.genome import PackedGenome
+    from subphaser_tpu.io.encoding import code_to_kmer
+    from subphaser_tpu.ops.anchors import chrom_anchors
+
+    # a k-mer whose CANONICAL code is 0 mod 16 at every position: poly-A
+    # (code 0); every position samples -> n_total = n_pos >> base_cap
+    n = 1 << 16
+    g = PackedGenome.from_dict({"c": "A" * (n + 64)})
+    qc, qp, qs = chrom_anchors(g.chroms[0], k=15, mod=16, tile_bases=n)
+    assert qc.size >= n  # all positions kept (cap escalated, not truncated)
+    assert np.all(qc == 0)
+    assert code_to_kmer(0, 15) == "A" * 15

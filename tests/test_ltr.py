@@ -298,3 +298,28 @@ def test_domain_tree_grouping(tmp_path):
     sides = [set(leaves(c)) for c in root.children]
     joined = [{"SG1" if "SG1" in x else "SG2" for x in side} for side in sides]
     assert any(len(j) == 1 for j in joined), f"clades mixed: {sides}"
+
+
+def test_seed_cap_escalation_retry():
+    """A repeat-dense tile overflowing seed_cap must retry with more room
+    and still find the planted LTR (no silent truncation)."""
+    import numpy as np
+
+    from subphaser_tpu.io.genome import PackedGenome
+    from subphaser_tpu.ltr.detect import DEFAULT_PARAMS, detect_ltr_chrom
+    from tests.test_encoding import random_seq
+
+    rng = np.random.default_rng(77)
+    unit = random_seq(rng, 1200)          # tandem unit inside the LTR window
+    ltr = random_seq(rng, 300)
+    inner = random_seq(rng, 1500)
+    seq = (unit * 40) + ltr + inner + ltr + (unit * 40)
+    g = PackedGenome.from_dict({"c": seq})
+    prm = dict(DEFAULT_PARAMS)
+    recs_small = detect_ltr_chrom(g.chroms[0], prm, tile_bases=1 << 16,
+                                  seed_cap=1 << 8)
+    recs_big = detect_ltr_chrom(g.chroms[0], prm, tile_bases=1 << 16,
+                                seed_cap=1 << 18)
+    # retry path must converge to the same candidates as the generous cap
+    assert {r.key for r in recs_small} == {r.key for r in recs_big}
+    assert recs_big, "planted LTR not detected"
