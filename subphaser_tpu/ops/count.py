@@ -42,26 +42,6 @@ def sort_rle(codes: jnp.ndarray):
 
 
 @jax.jit
-def merge_rle(codes_a, counts_a, codes_b, counts_b):
-    """Merge two SENTINEL-padded sorted spectra, summing duplicate codes."""
-    codes = jnp.concatenate([codes_a, codes_b])
-    counts = jnp.concatenate([counts_a, counts_b])
-    codes, counts = jax.lax.sort((codes, counts), num_keys=1)
-    n = codes.size
-    start = jnp.concatenate([jnp.ones(1, bool), codes[1:] != codes[:-1]])
-    (pos,) = jnp.where(start, size=n, fill_value=n)
-    # int32 cumsum is safe: device merges stay per-chromosome (< 2^31 bases);
-    # whole-genome totals are summed on host in int64 (merge_host)
-    csum = jnp.cumsum(counts)
-    end = jnp.minimum(jnp.diff(pos, append=jnp.int32(n)) + pos, n) - 1
-    run_tot = csum[jnp.maximum(end, 0)] - jnp.where(pos > 0, csum[jnp.maximum(pos - 1, 0)], 0)
-    ucodes = jnp.where(pos < n, codes[jnp.minimum(pos, n - 1)], SENTINEL)
-    ucounts = jnp.where((pos < n) & (ucodes != SENTINEL), run_tot, 0)
-    ucodes = jnp.where(ucounts > 0, ucodes, SENTINEL)
-    return ucodes, ucounts.astype(jnp.int32)
-
-
-@jax.jit
 def _merge_sorted_runs(codes, counts, lower):
     """Sort (code, count) pairs and compute gather-free run totals.
 
@@ -303,24 +283,6 @@ def compact_host(codes: np.ndarray, counts: np.ndarray):
 def count_surviving(counts, lower):
     """Number of entries with count >= lower (scalar, cheap transfer)."""
     return jnp.sum(counts >= lower)
-
-
-@functools.partial(jax.jit, static_argnames=("cap",))
-def threshold_compact(codes, counts, lower, cap: int):
-    """Keep entries with count >= lower, compacted to a static-size prefix.
-
-    Transfers through the host link shrink from the padded position count to
-    ~the repeat-k-mer count (the axon tunnel makes full-tile transfers the
-    end-to-end bottleneck otherwise).
-    """
-    n = codes.shape[0]
-    mask = (counts >= lower) & (codes != SENTINEL)
-    (pos,) = jnp.where(mask, size=cap, fill_value=n)
-    valid = pos < n
-    pos_c = jnp.minimum(pos, n - 1)
-    out_codes = jnp.where(valid, codes[pos_c], SENTINEL)
-    out_counts = jnp.where(valid, counts[pos_c], 0)
-    return out_codes, out_counts
 
 
 def merge_host(parts: list[tuple[np.ndarray, np.ndarray]]):

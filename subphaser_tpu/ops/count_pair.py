@@ -157,19 +157,6 @@ def count_surviving_pair(counts, lower):
     return jnp.sum(counts >= lower)
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
-def threshold_compact_pair(hi, lo, counts, lower, cap: int):
-    n = hi.shape[0]
-    mask = (counts >= lower) & (hi != SENTINEL)
-    (pos,) = jnp.where(mask, size=cap, fill_value=n)
-    valid = pos < n
-    pos_c = jnp.minimum(pos, n - 1)
-    out_hi = jnp.where(valid, hi[pos_c], SENTINEL)
-    out_lo = jnp.where(valid, lo[pos_c], SENTINEL)
-    out_counts = jnp.where(valid, counts[pos_c], 0)
-    return out_hi, out_lo, out_counts
-
-
 class PairSpectrumAccumulator:
     """Pair-code version of SpectrumAccumulator; finish() returns int64 codes."""
 

@@ -8,7 +8,6 @@ from subphaser_tpu.ops.count import (
     compact_host,
     count_tile,
     merge_host,
-    merge_rle,
     sort_rle,
 )
 from subphaser_tpu.ops.kmer import SENTINEL
@@ -44,20 +43,6 @@ def test_count_tile_oracle(k):
         for kmer, n in spectrum_to_dict(u, c, k).items():
             acc[kmer] = acc.get(kmer, 0) + n
     assert acc == count_canonical_kmers(seq, k)
-
-
-def test_merge_rle():
-    import jax.numpy as jnp
-
-    a = jnp.array([1, 4, 7, SENTINEL], dtype=jnp.int32)
-    ac = jnp.array([2, 1, 3, 0], dtype=jnp.int32)
-    b = jnp.array([4, 9, SENTINEL, SENTINEL], dtype=jnp.int32)
-    bc = jnp.array([5, 1, 0, 0], dtype=jnp.int32)
-    u, c = merge_rle(a, ac, b, bc)
-    u, c = np.asarray(u), np.asarray(c)
-    m = u != SENTINEL
-    np.testing.assert_array_equal(u[m], [1, 4, 7, 9])
-    np.testing.assert_array_equal(c[m], [2, 6, 3, 1])
 
 
 def test_accumulator_matches_oracle():
