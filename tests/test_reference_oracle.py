@@ -233,3 +233,78 @@ def test_filter_kmer_parity(ref, seed, by_count, baseline, min_fold, ratio):
     ours = fmask & (tot >= min_freq) & (tot <= max_freq)
     np.testing.assert_array_equal(ours, np.array(theirs))
     assert 0 < n  # sanity: parametrizations with no survivors still compare
+
+
+@pytest.mark.parametrize("orient", ["forward", "revcomp"])
+def test_emitted_cs_consumed_by_reference_paf(ref, orient):
+    """The native aligner's PAF + cs:Z: output must parse cleanly through
+    the REFERENCE's own consumer (Paf.py PafRecord.parse_cs/CsBlocks,
+    reference Paf.py:155-293) with exact per-block coordinates and carried
+    sequences — including the minus-strand target-forward layout."""
+    from subphaser import Paf as ref_paf  # noqa: E402
+
+    from subphaser_tpu.blocks.align import align_pair
+    from subphaser_tpu.io.genome import PackedGenome
+    from tests.test_encoding import random_seq
+
+    rng = np.random.default_rng(41 if orient == "forward" else 42)
+    qseq = random_seq(rng, 30_000)
+    # homoeolog: substitutions + one deletion + one insertion
+    t = list(qseq)
+    for i in rng.integers(0, len(t), 200):
+        t[i] = "ACGT"[rng.integers(0, 4)]
+    del t[12_000:12_035]
+    t[5_000:5_000] = list(random_seq(rng, 21))
+    tseq = "".join(t)
+    if orient == "revcomp":
+        from tests.oracle import revcomp
+
+        tseq = revcomp(tseq)
+    g = PackedGenome.from_dict({"q": qseq, "t": tseq})
+    recs = align_pair(g, "q", "t", min_block=5_000, min_anchors=5)
+    assert recs, "no blocks found"
+    want_strand = "+" if orient == "forward" else "-"
+    assert {r.strand for r in recs} == {want_strand}
+
+    comp = str.maketrans("acgt", "tgca")
+    for r in recs:
+        pr = ref_paf.PafRecord(r.to_line())
+        assert pr.cs == r.tags["cs"]
+        blocks = list(pr.parse_cs())
+        assert blocks[0].tstart == pr.tstart
+        assert blocks[-1].tend == pr.tend
+        if pr.strand == "+":
+            assert blocks[0].qstart == pr.qstart
+            assert blocks[-1].qend == pr.qend
+        else:
+            assert blocks[0].qend == pr.qend
+            assert blocks[-1].qstart == pr.qstart
+        nmatch = 0
+        for b in blocks:
+            # CsBlock quirk: '*' snp blocks carry match=1; the PAF nmatch
+            # column (minimap2 semantics) counts only ':' exact matches
+            if b.type == "identical":
+                nmatch += b.match
+            if b.type == "identical":
+                # ':' runs really are identical (and N-free) on both strands
+                tseg = tseq[b.tstart : b.tend].upper()
+                if pr.strand == "+":
+                    qseg = qseq[b.qstart : b.qend].upper()
+                else:
+                    qseg = qseq[b.qstart : b.qend].upper().translate(
+                        str.maketrans("ACGT", "TGCA"))[::-1]
+                assert tseg == qseg
+            elif b.type == "del":
+                assert tseq[b.tstart : b.tend].lower() == b.tseq
+            elif b.type == "snp":
+                assert tseq[b.tstart].lower() == b.tseq
+                qb = qseq[b.qstart].lower()
+                if pr.strand == "-":
+                    qb = qb.translate(comp)
+                assert qb == b.qseq
+            elif b.type == "ins":
+                qseg = qseq[b.qstart : b.qend].lower()
+                if pr.strand == "-":
+                    qseg = qseg.translate(comp)[::-1]
+                assert qseg == b.qseq
+        assert nmatch == pr.match
