@@ -308,3 +308,30 @@ def test_emitted_cs_consumed_by_reference_paf(ref, orient):
                     qseg = qseg.translate(comp)[::-1]
                 assert qseg == b.qseq
         assert nmatch == pr.match
+
+
+def test_stat_enrich_parity(ref, tmp_path):
+    """Byte-level parity of the annotation x subgenome enrichment summary
+    against the reference's stat_enrich.main (stat_enrich.py:1-41)."""
+    import io
+
+    from subphaser import stat_enrich as ref_se  # noqa: E402
+
+    from subphaser_tpu.phase.stat_enrich import stat_enrich
+
+    rng = np.random.default_rng(9)
+    anns = ["Gypsy", "Copia", "LINE"]
+    sgs = ["SG1", "SG2", "SG3"]
+    lines = ["#id\tsubgenome\tp_value\tcounts\n"]
+    for i in range(200):
+        ann = anns[rng.integers(0, len(anns))]
+        sg = sgs[rng.integers(0, len(sgs))]
+        counts = ",".join(str(int(x)) for x in rng.integers(0, 50, len(sgs)))
+        lines.append(f"{ann}-elem{i}\t{sg}\t{rng.random():.3g}\t{counts}\n")
+    tsv = tmp_path / "feat.enrich"
+    tsv.write_text("".join(lines))
+
+    ours, theirs = io.StringIO(), io.StringIO()
+    stat_enrich(str(tsv), ours)
+    ref_se.main(str(tsv), theirs)
+    assert ours.getvalue() == theirs.getvalue()
