@@ -335,3 +335,27 @@ def test_stat_enrich_parity(ref, tmp_path):
     stat_enrich(str(tsv), ours)
     ref_se.main(str(tsv), theirs)
     assert ours.getvalue() == theirs.getvalue()
+
+
+def test_sort_subgenomes_parity(ref):
+    """canonical_labels must renumber clusters exactly like the reference's
+    Cluster.sort_subgenomes (Cluster.py:119-126) for arbitrary label
+    permutations and chromosome-name orders."""
+    from subphaser import Cluster as ref_cluster  # noqa: E402
+
+    from subphaser_tpu.ops.kmeans import canonical_labels
+
+    rng = np.random.default_rng(5)
+    for trial in range(30):
+        n = int(rng.integers(3, 14))
+        k = int(rng.integers(2, min(n, 6) + 1))
+        labels = rng.integers(0, k, n)
+        while len(set(labels.tolist())) < k:  # every cluster non-empty
+            labels = rng.integers(0, k, n)
+        chrs = [f"chr{rng.integers(0, 1000):03d}_{i}" for i in range(n)]
+        c = ref_cluster.Cluster.__new__(ref_cluster.Cluster)
+        c.chrs = chrs
+        want = c.sort_subgenomes(list(labels))
+        order = np.argsort(chrs).astype(np.int32)
+        got = np.asarray(canonical_labels(labels.astype(np.int32), order, k))
+        assert got.tolist() == want, f"trial {trial}"
