@@ -284,3 +284,28 @@ def test_anchor_cap_escalation_retry():
     assert qc.size >= n  # all positions kept (cap escalated, not truncated)
     assert np.all(qc == 0)
     assert code_to_kmer(0, 15) == "A" * 15
+
+
+def test_build_cs_native_overlapping_anchors():
+    """Anchors overlapping the previous one must be skipped identically in
+    the native and Python builders (the x < cq / y < ct branch)."""
+    import numpy as np
+
+    from subphaser_tpu.blocks import cs as csmod
+    from subphaser_tpu.ltr.native import build_cs_native
+
+    rng = np.random.default_rng(31)
+    k = 9
+    q = rng.integers(0, 4, 600).astype(np.uint8)
+    t = q.copy()
+    t[100] = (t[100] + 1) % 4
+    # dense anchors every 3 bp -> most overlap the previous k-mer
+    aq = np.arange(10, 580, 3, dtype=np.int64)
+    at = aq.copy()
+    ok = np.array([np.array_equal(q[x:x+k], t[x:x+k]) for x in aq])
+    aq, at = aq[ok], at[ok]
+    qs, qe = int(aq[0]), int(aq[-1]) + k
+    ops = csmod.build_cs(q, t, aq, at, qs, qe, qs, qe, k)
+    want = csmod.format_cs(ops)
+    got, _, _ = build_cs_native(q, t, aq, at, qs, qe, qs, qe, k)
+    assert got == want

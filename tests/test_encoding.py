@@ -128,3 +128,21 @@ def test_from_raw_body_roundtrip():
     )
     assert c.length == len(seq)
     assert c.to_seq() == seq
+
+
+def test_native_pack_body_arbitrary_bytes():
+    """pack_body must match the numpy path on ARBITRARY byte soup (headers
+    never reach it, but robustness against IUPAC/garbage bytes matters)."""
+    pytest.importorskip("subphaser_tpu.ltr.native")
+    from subphaser_tpu.ltr.native import pack_body
+
+    rng = np.random.default_rng(99)
+    for trial in range(6):
+        raw = rng.integers(0, 256, int(rng.integers(1, 5000)), dtype=np.uint8)
+        stripped = bytes(raw).replace(b"\n", b"").replace(b"\r", b"")
+        packed_n, vmask_n, nb = pack_body(raw)
+        codes, valid = encode_bases(np.frombuffer(stripped, dtype=np.uint8))
+        packed_ref, vmask_ref = pack_words(codes, valid)
+        assert nb == len(stripped)
+        np.testing.assert_array_equal(packed_n, packed_ref, err_msg=f"t{trial}")
+        np.testing.assert_array_equal(vmask_n, vmask_ref, err_msg=f"t{trial}")
