@@ -111,8 +111,8 @@ def align_pair(
                     qstart=int(c["q_start"]), qend=int(c["q_end"]),
                     strand=sym, tname=tname, tlen=t.length,
                     tstart=ts0, tend=te0,
-                    nmatch=min(nmatch, max(alen_total, 1)),
-                    alen=max(alen_total, 1), mapq=60,
+                    nmatch=min(nmatch, alen_total),  # alen_total >= 1 on both paths
+                    alen=alen_total, mapq=60,
                     tags=tags,
                 )
             )

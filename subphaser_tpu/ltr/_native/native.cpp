@@ -773,6 +773,21 @@ static void cs_seq(std::string& out, const uint8_t* p, int64_t lo, int64_t hi) {
   for (int64_t i = lo; i < hi; ++i) out.push_back(kBase[p[i] < 4 ? p[i] : 4]);
 }
 
+static void cs_raw_runs(std::vector<CsRun>& runs, const uint8_t* q,
+                        const uint8_t* t, int64_t q0, int64_t q1,
+                        int64_t t0, int64_t t1) {
+  if (t1 > t0) {
+    CsRun r{'-', 0, std::string()};
+    cs_seq(r.seq, t, t0, t1);
+    runs.push_back(std::move(r));
+  }
+  if (q1 > q0) {
+    CsRun r{'+', 0, std::string()};
+    cs_seq(r.seq, q, q0, q1);
+    runs.push_back(std::move(r));
+  }
+}
+
 static void cs_gap(std::vector<CsRun>& runs, const uint8_t* q, const uint8_t* t,
                    int64_t q0, int64_t q1, int64_t t0, int64_t t1,
                    std::vector<int32_t>& buf) {
@@ -786,8 +801,7 @@ static void cs_gap(std::vector<CsRun>& runs, const uint8_t* q, const uint8_t* t,
   const int64_t kMaxGapDiff = 1 << 12;
   if (qlen > kMaxGapDp || tlen > kMaxGapDp ||
       std::abs(qlen - tlen) > kMaxGapDiff) {
-    if (tlen > 0) { CsRun r{'-', 0, std::string()}; cs_seq(r.seq, t, t0, t1); runs.push_back(std::move(r)); }
-    if (qlen > 0) { CsRun r{'+', 0, std::string()}; cs_seq(r.seq, q, q0, q1); runs.push_back(std::move(r)); }
+    cs_raw_runs(runs, q, t, q0, q1, t0, t1);
     return;
   }
   int band = (int)std::abs(qlen - tlen) + 32;
@@ -796,8 +810,7 @@ static void cs_gap(std::vector<CsRun>& runs, const uint8_t* q, const uint8_t* t,
   int n = sp_banded_align_ops(q + q0, (int)qlen, t + t0, (int)tlen, band,
                               buf.data(), (int)cap);
   if (n < 0) {  // fallback: raw runs
-    if (tlen > 0) { CsRun r{'-', 0, std::string()}; cs_seq(r.seq, t, t0, t1); runs.push_back(std::move(r)); }
-    if (qlen > 0) { CsRun r{'+', 0, std::string()}; cs_seq(r.seq, q, q0, q1); runs.push_back(std::move(r)); }
+    cs_raw_runs(runs, q, t, q0, q1, t0, t1);
     return;
   }
   int64_t qp = q0, tp = t0;
