@@ -43,25 +43,8 @@ def map_tile_bins_pair(
     base = jnp.searchsorted(sig_hi, fhi)  # leftmost equal-hi position
     hit = jnp.zeros(fhi.shape, dtype=bool)
     sg = jnp.zeros(fhi.shape, dtype=jnp.int32)
-    for j in range(probe):
-        idx = jnp.minimum(base + j, m - 1)
-        ok = (
-            (base + j < m)
-            & (sig_hi[idx] == fhi)
-            & (sig_lo[idx] == flo)
-            & (fhi != SENTINEL)
-        )
-        sg = jnp.where(ok & ~hit, sig_sg[idx], sg)
-        hit = hit | ok
-    from subphaser_tpu.ops.mapbins import bin_counts_contiguous, distinct_hits
-
-    bin_counts = bin_counts_contiguous(
-        hit, sg, start, bin_size=bin_size, n_sg=n_sg, nbins_tile=nbins_tile
-    )
-    first_bin = jnp.asarray(start, jnp.int32) // bin_size
-
-    # distinct hits over the sig table: position of each hit = base + j
-    # offset where it matched; compacted to a sorted-unique list
+    # sig-table position of each hit, for the distinct-hit statistic (one
+    # probe pass fills hit/sg/midx together)
     midx = jnp.full(fhi.shape, SENTINEL, dtype=jnp.int32)
     for j in range(probe):
         idx = jnp.minimum(base + j, m - 1)
@@ -71,7 +54,15 @@ def map_tile_bins_pair(
             & (sig_lo[idx] == flo)
             & (fhi != SENTINEL)
         )
-        midx = jnp.where(ok & (midx == SENTINEL), idx.astype(jnp.int32), midx)
+        sg = jnp.where(ok & ~hit, sig_sg[idx], sg)
+        midx = jnp.where(ok & ~hit, idx.astype(jnp.int32), midx)
+        hit = hit | ok
+    from subphaser_tpu.ops.mapbins import bin_counts_contiguous, distinct_hits
+
+    bin_counts = bin_counts_contiguous(
+        hit, sg, start, bin_size=bin_size, n_sg=n_sg, nbins_tile=nbins_tile
+    )
+    first_bin = jnp.asarray(start, jnp.int32) // bin_size
     return bin_counts, first_bin, distinct_hits(midx, m)
 
 
