@@ -23,6 +23,28 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _start_watchdog(seconds: float = 1800.0):
+    """Hard-exit with a diagnostic if the bench never completes.
+
+    A dead axon relay leaves the first device op blocked in a futex that
+    ignores SIGTERM (observed 2026-08-17: port 127.0.0.1:8103 closed for
+    hours; every client hung). Legitimate first compiles through the
+    tunnel are <= ~530 s, so 30 min without finishing means the backend
+    is gone — fail loudly instead of wedging the driver."""
+    import os
+    import threading
+
+    def _boom():
+        log(f"bench watchdog: no result after {seconds:.0f}s — "
+            "axon backend unreachable (check 127.0.0.1:8103); aborting")
+        os._exit(3)
+
+    t = threading.Timer(seconds, _boom)
+    t.daemon = True
+    t.start()
+    return t
+
+
 K = 15
 TILE_BASES = 1 << 23  # 8.4 Mbp per tile
 N_TILES = 4           # batch per timed step
@@ -159,10 +181,12 @@ def _cpu_once(w, v, best):
 
 
 def main():
+    watchdog = _start_watchdog()
     rng = np.random.default_rng(0)
     words, vwords = make_tiles(rng)
     cpu = bench_cpu_numpy(words, vwords)
     tpu = bench_tpu(words, vwords)
+    watchdog.cancel()
     print(
         json.dumps(
             {
