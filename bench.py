@@ -180,7 +180,43 @@ def _cpu_once(w, v, best):
     return rate if best is None else max(best, rate)
 
 
+def _wait_for_backend(max_wait: float = 1200.0, interval: float = 60.0) -> bool:
+    """Probe the axon backend in a SUBPROCESS and retry across relay flaps.
+
+    A dead relay either raises RuntimeError at backend init (fast) or wedges
+    the client in an uninterruptible futex — so the probe runs out-of-process
+    where a SIGKILL on timeout cannot take the bench down with it. Re-probes
+    every `interval` seconds for up to `max_wait` before giving up, so a
+    transient relay restart does not turn into an rc!=0 round."""
+    import subprocess
+
+    deadline = time.time() + max_wait
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+                timeout=180,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                if attempt > 1:
+                    log(f"backend probe succeeded on attempt {attempt}")
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return False
+        log(f"backend probe {attempt} failed; retrying in {interval:.0f}s "
+            f"({deadline - time.time():.0f}s left)")
+        time.sleep(interval)
+
+
 def main():
+    if not _wait_for_backend():
+        log("axon backend unreachable after 20 min of probing; aborting")
+        sys.exit(3)
     watchdog = _start_watchdog()
     rng = np.random.default_rng(0)
     words, vwords = make_tiles(rng)

@@ -111,11 +111,21 @@ def build_cs(
     for x, y in zip(aq.tolist(), at.tolist()):
         if x < cq or y < ct:
             continue  # overlaps the previous anchor; already covered
+        # clamp the anchor match at the block bounds: a terminal anchor may
+        # end past ONE boundary, and the other coordinate's residual run
+        # must still be emitted (else the cs spans less than the PAF
+        # qstart..qend/tstart..tend and cs-walking parsers misplace ends)
+        m = min(k, qend - x, tend - y)
+        if m <= 0:
+            break
         _gap(ops, q, t, cq, x, ct, y)
-        _push(ops, (":", k))
-        cq, ct = x + k, y + k
-    if cq <= qend and ct <= tend:
-        _gap(ops, q, t, cq, qend, ct, tend)
+        _push(ops, (":", m))
+        cq, ct = x + m, y + m
+        if m < k:
+            break
+    # residual tail (cq <= qend and ct <= tend hold by the clamp above);
+    # one-sided tails come out as raw +/- runs from _gap
+    _gap(ops, q, t, cq, qend, ct, tend)
     return ops
 
 

@@ -840,20 +840,26 @@ int64_t sp_build_cs(const uint8_t* q, int64_t /*qlen_total*/,
   // the banded alignments dominate, so they run under OpenMP)
   struct GapTask { int64_t q0, q1, t0, t1; };
   std::vector<GapTask> gaps;
-  std::vector<char> has_match;  // gap i is followed by a ':k' anchor match?
+  std::vector<int64_t> match_len;  // ':' run after gap i (0 = none)
   gaps.reserve(4096);
   int64_t cq = qstart, ct = tstart;
   for (int64_t i = 0; i < n_anchors; ++i) {
     int64_t x = aq[i], y = at[i];
     if (x < cq || y < ct) continue;  // overlaps previous anchor
+    // clamp the anchor match at the block bounds so a terminal anchor
+    // ending past ONE boundary still leaves the other coordinate's
+    // residual to the tail gap below (blocks/cs.build_cs semantics)
+    int64_t m = std::min<int64_t>(k, std::min(qend - x, tend - y));
+    if (m <= 0) break;
     gaps.push_back({cq, x, ct, y});
-    has_match.push_back(1);
-    cq = x + k; ct = y + k;
+    match_len.push_back(m);
+    cq = x + m; ct = y + m;
+    if (m < k) break;
   }
-  if (cq <= qend && ct <= tend) {
-    gaps.push_back({cq, qend, ct, tend});
-    has_match.push_back(0);
-  }
+  // residual tail (cq <= qend and ct <= tend hold by the clamp above);
+  // one-sided tails come out as raw +/- runs from cs_gap
+  gaps.push_back({cq, qend, ct, tend});
+  match_len.push_back(0);
 
   std::vector<std::vector<CsRun>> gap_runs(gaps.size());
 #pragma omp parallel
@@ -874,7 +880,7 @@ int64_t sp_build_cs(const uint8_t* q, int64_t /*qlen_total*/,
       if (r.op == ':') cs_push_match(runs, r.len);
       else runs.push_back(std::move(r));
     }
-    if (has_match[i]) cs_push_match(runs, k);
+    if (match_len[i] > 0) cs_push_match(runs, match_len[i]);
   }
 
   if (minus) {

@@ -472,10 +472,48 @@ def classify_elements(
     return out
 
 
+def _window_coverage(
+    seq: str,
+    cand_hashes: np.ndarray,
+    sketch_k: int,
+    target_window: int = 150,
+    max_windows: int = 16,
+    min_shared: int = 2,
+) -> float:
+    """qcovs-equivalent for sketch-based pass-2 (reference app.py:417-432
+    gates the best blast hit on qcovs >= 80).
+
+    Splits the query into up to ``max_windows`` windows of >= ``target_window``
+    bases and calls a window covered when it shares >= ``min_shared`` k-mer
+    hashes with the candidate's FULL hash set. At 80% identity a 150 bp
+    covered window expects ~7 surviving 13-mers (137 * 0.8^13), so genuinely
+    aligned windows pass while windows outside the matched region share
+    nothing beyond negligible-chance hash collisions.
+    """
+    from subphaser_tpu.ltr.tree import _sketch
+
+    L = len(seq)
+    if L < sketch_k or cand_hashes.size == 0:
+        return 0.0
+    n_windows = min(max_windows, max(1, L // target_window))
+    w = -(-L // n_windows)  # ceil: windows cover the whole query
+    covered = total = 0
+    for lo in range(0, L, w):
+        sub = seq[lo : lo + w + sketch_k - 1]
+        hs = _sketch(sub, k=sketch_k, s=1 << 30)  # full set of this window
+        if hs.size == 0:
+            continue
+        total += 1
+        if int(np.isin(hs, cand_hashes, assume_unique=True).sum()) >= min_shared:
+            covered += 1
+    return covered / total if total else 0.0
+
+
 def classify_pass2(
     elements: list[tuple[str, str]],
     d_class: dict[str, Classification],
     min_identity: float = 0.80,
+    min_coverage: float = 0.80,
     min_length: int = 80,
     sketch_k: int = 13,
     sketch_s: int = 512,
@@ -487,10 +525,13 @@ def classify_pass2(
     (reference api/TEsorter/app.py:417-432: best hit with pident>=80,
     qcovs>=80, length>=80) with MinHash sketches: candidate pairs share at
     least one of each element's 8 smallest hashes (LSH prefilter), then the
-    bottom-s Mash identity estimate gates the transfer at ``min_identity``.
-    Returns the updated ``d_class`` (order/superfamily/clade copied from the
-    best hit; completeness/domains are NOT transferred — only pass-1 proves
-    domains).
+    bottom-s Mash identity estimate gates the transfer at ``min_identity``
+    and a windowed-containment coverage estimate gates it at
+    ``min_coverage`` (the qcovs >= 80 equivalent — without it a short
+    high-identity fragment could transfer a label the reference's blast
+    filter would reject). Returns the updated ``d_class`` (order/
+    superfamily/clade copied from the best hit; completeness/domains are
+    NOT transferred — only pass-1 proves domains).
     """
     from subphaser_tpu.ltr.tree import _sketch
 
@@ -507,6 +548,8 @@ def classify_pass2(
         return d_class
 
     c_sk = {eid: _sketch(seq, k=sketch_k, s=sketch_s) for eid, seq in classified}
+    c_seq = dict(classified)
+    c_full: dict[str, np.ndarray] = {}  # full hash sets, built lazily
     # LSH buckets on the 8 smallest hashes of each classified element
     buckets: dict[int, list[str]] = {}
     for eid, sk in c_sk.items():
@@ -537,6 +580,14 @@ def classify_pass2(
             if ident > best_ident:
                 best_ident, best_id = float(ident), cid
         if best_id is not None and best_ident >= min_identity:
+            # qcovs gate (reference app.py:417-432): >= min_coverage of the
+            # query's windows must share k-mers with the best hit
+            if min_coverage > 0:
+                if best_id not in c_full:
+                    c_full[best_id] = _sketch(c_seq[best_id], k=sketch_k,
+                                              s=1 << 30)
+                if _window_coverage(seq, c_full[best_id], sketch_k) < min_coverage:
+                    continue
             src = d_class[best_id]
             d_class[eid] = Classification(
                 id=eid, order=src.order, superfamily=src.superfamily,

@@ -692,6 +692,7 @@ class Pipeline:
             bin_counts, BIN_SIZE, self.window_size, outfig,
             enrich_lines=getattr(self, "sg_lines", None),
             ltr_bedlines=ltr_bedlines,
+            enrich_ltr_bedlines=enrich_ltr_bedlines,
             pafs=pafs, min_block=self.min_block, legend_file=legend,
         )
         logger.info("Wrote %s", outfig)

@@ -286,20 +286,32 @@ def start_map_warmup(
     return holder
 
 
-def join_map_warmup(warm, timeout: float = 600.0):
+def join_map_warmup(warm, timeout: float = 600.0, grace: float = 600.0):
     """Wait for a map warm-up and return its sig table (None if it failed).
 
     If the thread is STILL RUNNING after ``timeout`` (very slow remote
-    compile), keep waiting rather than returning None: the caller would
-    build a second 4 GB device table while the warm thread holds the
-    first — a device OOM at k=15."""
+    compile), wait one more bounded ``grace`` period rather than returning
+    None immediately: the caller would build a second 4 GB device table
+    while the warm thread holds the first — a device OOM at k=15. If it is
+    STILL alive after the grace period, the thread is presumed wedged on a
+    dead relay (the documented futex-hang failure mode) — abandon it and
+    let the main path rebuild, accepting the transient duplicate-table
+    memory risk over hanging the mapping step forever."""
     if warm is None:
         return None
     t = warm["thread"]
     t.join(timeout=timeout)
     if t.is_alive():
-        logger.info("Map warm-up still compiling after %.0fs; waiting", timeout)
-        t.join()
+        logger.info("Map warm-up still compiling after %.0fs; waiting up to "
+                    "%.0fs more", timeout, grace)
+        t.join(timeout=grace)
+        if t.is_alive():
+            logger.warning(
+                "Map warm-up wedged after %.0fs total (dead backend relay?); "
+                "abandoning it and rebuilding the table on the main path",
+                timeout + grace,
+            )
+            return None
     return warm.get("table")
 
 

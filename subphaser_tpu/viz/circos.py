@@ -5,12 +5,18 @@ Rings, outermost first (matching reference circos_plot's track order,
 Circos.py:469-546):
 1. karyotype: chromosome arcs colored by assigned subgenome, with labels
 2. window enrichment band: each window colored by its enriched subgenome
-   (white where not significant)
-3. one density ring per subgenome: specific-k-mer counts per window,
+   (white where not significant; reference circle 1, enrich_col of
+   out_sg_lines, Circos.py:619-634)
+3. normalized SG-ratio ring: stacked per-window proportions of each
+   subgenome's specific k-mers (reference circle 2, ratio_col of
+   out_sg_lines, Circos.py:493-505)
+4. one density ring per subgenome: specific-k-mer counts per window,
    99th-percentile trimmed (reference stack_bed_density + abnormal,
    Circos.py:777-806, 973-980)
-4. LTR density ring (all detected LTRs per window)
-5. center: homoeologous block links from PAF, colored by the query
+5. LTR ring: density minus enriched — per window, the SG-enriched LTRs
+   stack in subgenome colors and the remaining (unenriched) LTRs in grey
+   (reference bed_density_minus, Circos.py:515-524, 684-707)
+6. center: homoeologous block links from PAF, colored by the query
    chromosome's subgenome
 """
 
@@ -76,6 +82,7 @@ def circos_plot(
     outfig: str,
     enrich_lines: list | None = None,   # rows from enrich_bin
     ltr_bedlines: list | None = None,   # [chrom, start, end, id]
+    enrich_ltr_bedlines: list | None = None,  # per-SG lists of enriched beds
     pafs: list[str] | None = None,
     min_block: int = 100_000,
     legend_file: str | None = None,
@@ -112,10 +119,45 @@ def circos_plot(
             ax.fill_between(_arc(a0, a1), r0, r1,
                             color=d_colors.get(key, "#999999"), lw=0)
 
-    # ---- density rings per subgenome ---------------------------------
-    factor = max(window_size // bin_size, 1)
+    # ---- SG-ratio ring (reference circle 2, Circos.py:493-505) --------
+    # stacked per-window normalized proportions (ratio_col of
+    # out_sg_lines, Circos.py:619-634): each window is a full-height bar
+    # partitioned into subgenome colors by its ratios (they sum to 1)
     ring_h = 0.055
     base = 0.94
+    has_ratio_ring = bool(enrich_lines) and len(enrich_lines[0]) > 6
+    if has_ratio_ring:
+        r_top = base
+        r_bot = base - ring_h + 0.008
+        for line in enrich_lines:
+            chrom, start, end = line[0], line[1], line[2]
+            if chrom not in layout.start:
+                continue
+            ratios = line[6]
+            if isinstance(ratios, str):
+                ratios = [float(v) for v in ratios.split(",")]
+            ratios = np.asarray(ratios, dtype=float)
+            if not np.isfinite(ratios).all() or ratios.sum() <= 0:
+                continue
+            a0 = layout.angle(chrom, start)
+            a1 = layout.angle(chrom, min(end, chrom_sizes[chrom]))
+            th = _arc(a0, a1)
+            cum = 0.0
+            for si, sg in enumerate(sg_names[: ratios.size]):
+                frac = float(ratios[si])
+                if frac <= 0:
+                    continue
+                lo = r_bot + (r_top - r_bot) * cum
+                hi = r_bot + (r_top - r_bot) * min(cum + frac, 1.0)
+                ax.fill_between(th, lo, hi, color=d_colors.get(sg, "#777777"),
+                                lw=0)
+                cum += frac
+        fig.text(0.015, 0.985, "ring 3: normalized SG ratio", fontsize=8,
+                 color="#333333")
+        base -= ring_h
+
+    # ---- density rings per subgenome ---------------------------------
+    factor = max(window_size // bin_size, 1)
     windows = {}
     for name, arr in bin_counts.items():
         nb = arr.shape[0]
@@ -125,6 +167,7 @@ def circos_plot(
         if pad:
             a = np.concatenate([a, np.zeros((pad, arr.shape[1]), arr.dtype)])
         windows[name] = a.reshape(nw, factor, arr.shape[1]).sum(axis=1)
+    ring_no = 4 if has_ratio_ring else 3
     for si, sg in enumerate(sg_names):
         r_top = base - si * ring_h
         r_bot = r_top - ring_h + 0.008
@@ -143,23 +186,31 @@ def circos_plot(
                 a1 = layout.angle(name, min((wi + 1) * window_size, chrom_sizes[name]))
                 h = (r_top - r_bot) * (v / vmax)
                 ax.fill_between(_arc(a0, a1), r_bot, r_bot + h, color=color, lw=0)
-        fig.text(0.015, 0.96 - 0.025 * si, f"ring {3 + si}: {sg} k-mers",
+        fig.text(0.015, 0.96 - 0.025 * si, f"ring {ring_no + si}: {sg} k-mers",
                  fontsize=8, color=color)
 
-    # ---- LTR density ring --------------------------------------------
+    # ---- LTR ring: density minus enriched ------------------------------
+    # reference bed_density_minus (Circos.py:684-707): per window the value
+    # list is [enriched-in-SG1, ..., enriched-in-SGn, total - sum] — SG
+    # colors stack first, the remaining (unenriched) density plots grey
     inner = base - len(sg_names) * ring_h
     if ltr_bedlines:
         fig.text(0.015, 0.96 - 0.025 * len(sg_names),
-                 f"ring {3 + len(sg_names)}: LTR-RTs", fontsize=8, color="#555555")
+                 f"ring {ring_no + len(sg_names)}: LTR-RTs", fontsize=8,
+                 color="#555555")
         r_top = inner
         r_bot = inner - ring_h + 0.008
-        dens: dict[str, np.ndarray] = {
-            name: np.zeros(-(-size // window_size))
-            for name, size in chrom_sizes.items()
-        }
-        for chrom, start, _end, *_ in ltr_bedlines:
-            if chrom in dens:
-                dens[chrom][int(start) // window_size] += 1
+
+        def _density(bedlines):
+            d = {name: np.zeros(-(-size // window_size))
+                 for name, size in chrom_sizes.items()}
+            for chrom, start, _end, *_ in bedlines:
+                if chrom in d:
+                    d[chrom][int(start) // window_size] += 1
+            return d
+
+        dens = _density(ltr_bedlines)
+        sg_dens = [_density(bed) for bed in (enrich_ltr_bedlines or [])]
         vals_all = _trim_upper(np.concatenate(list(dens.values())))
         vmax = vals_all.max() if vals_all.size and vals_all.max() > 0 else 1.0
         for name, vals in dens.items():
@@ -169,9 +220,23 @@ def circos_plot(
                     continue
                 a0 = layout.angle(name, wi * window_size)
                 a1 = layout.angle(name, min((wi + 1) * window_size, chrom_sizes[name]))
-                h = (r_top - r_bot) * (v / vmax)
-                ax.fill_between(_arc(a0, a1), r_bot, r_bot + h,
-                                color="#555555", lw=0)
+                th = _arc(a0, a1)
+                scale = (r_top - r_bot) / vmax
+                lo = r_bot
+                used = 0.0
+                for si, d_sg_dens in enumerate(sg_dens):
+                    e = min(float(d_sg_dens[name][wi]), v - used)
+                    if e <= 0:
+                        continue
+                    color = d_colors.get(sg_names[si], "#777777") \
+                        if si < len(sg_names) else "#777777"
+                    ax.fill_between(th, lo, lo + e * scale, color=color, lw=0)
+                    lo += e * scale
+                    used += e
+                rest = v - used
+                if rest > 0:
+                    ax.fill_between(th, lo, lo + rest * scale,
+                                    color="#555555", lw=0)
         inner = r_bot - 0.01
 
     # ---- block links --------------------------------------------------
@@ -203,10 +268,14 @@ def circos_plot(
             f.write("1. Karyotype colored by assigned subgenome\n")
             f.write("2. Window enrichment: significantly enriched subgenome per "
                     f"{window_size} bp window\n")
+            if has_ratio_ring:
+                f.write("3. Normalized proportion of each subgenome's "
+                        "specific k-mers per window\n")
             for i, sg in enumerate(sg_names):
-                f.write(f"{3 + i}. {sg}-specific k-mer density per window\n")
+                f.write(f"{ring_no + i}. {sg}-specific k-mer density per window\n")
             if ltr_bedlines:
-                f.write(f"{3 + len(sg_names)}. LTR-RT density per window\n")
+                f.write(f"{ring_no + len(sg_names)}. LTR-RT density per window "
+                        "(subgenome colors = SG-enriched LTRs, grey = rest)\n")
             if pafs:
                 f.write("center: homoeologous blocks colored by query "
                         "chromosome subgenome\n")

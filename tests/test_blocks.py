@@ -109,6 +109,52 @@ def test_circos_plot_smoke(tmp_path):
     assert "Karyotype" in (tmp_path / "legend.txt").read_text()
 
 
+def test_circos_ratio_and_density_minus_rings(tmp_path):
+    """The SG-ratio ring (reference Circos.py:493-505) and the LTR
+    density-minus-enriched ring (Circos.py:684-707) render and are named
+    in the legend."""
+    from subphaser_tpu.viz.circos import circos_plot
+
+    rng = np.random.default_rng(1)
+    sizes = {"A1": 100_000, "B1": 100_000}
+    d_sg = {"A1": "SG1", "B1": "SG2"}
+    colors = {"SG1": "#e41a1c", "SG2": "#377eb8"}
+    bins = {
+        n: rng.integers(0, 20, size=(10, 2)).astype(np.int64) for n in sizes
+    }
+    # full-width enrich_bin rows: [chrom, start, end, key, pval, counts,
+    # ratios, enrich, pvals, potential_exchange]
+    enrich_lines = [
+        ["A1", 0, 20_000, "SG1", 1e-4, "10,1", "0.9,0.1", "1,0,0", "1e-4,0.9", "no"],
+        ["B1", 0, 20_000, "SG2", 1e-3, "2,8", "0.2,0.8", "0,1,0", "0.9,1e-3", "no"],
+        ["B1", 20_000, 40_000, None, 0.5, "3,3", "nan,nan", "0,0,1", "0.5,0.5", "none"],
+    ]
+    ltr_bed = [["A1", 5_000, 9_000, "x"], ["A1", 6_000, 9_500, "y"],
+               ["B1", 25_000, 29_000, "z"]]
+    enrich_ltr = [[["A1", 5_000, 9_000, "x"]], [["B1", 25_000, 29_000, "z"]]]
+    out = str(tmp_path / "circos.png")
+    out_plain = str(tmp_path / "circos_plain.png")
+    circos_plot(
+        sizes, d_sg, ["SG1", "SG2"], colors, bins, bin_size=10_000,
+        window_size=20_000, outfig=out, enrich_lines=enrich_lines,
+        ltr_bedlines=ltr_bed, enrich_ltr_bedlines=enrich_ltr,
+        legend_file=str(tmp_path / "legend.txt"),
+    )
+    # same figure without the new data: must differ (rings actually drew)
+    circos_plot(
+        sizes, d_sg, ["SG1", "SG2"], colors, bins, bin_size=10_000,
+        window_size=20_000, outfig=out_plain,
+        enrich_lines=[l[:4] for l in enrich_lines], ltr_bedlines=ltr_bed,
+    )
+    import os
+
+    assert os.path.getsize(out) > 10_000
+    legend = (tmp_path / "legend.txt").read_text()
+    assert "Normalized proportion" in legend
+    assert "SG-enriched LTRs" in legend
+    assert open(out, "rb").read() != open(out_plain, "rb").read()
+
+
 def test_paf_cs_calls_and_best_hit():
     line = ("q\t100\t0\t10\t+\tt\t200\t50\t61\t9\t11\t60\ttp:A:P\t"
             "cs:Z::4*at-gg:2+tt:2")

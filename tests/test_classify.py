@@ -173,6 +173,49 @@ def test_pass2_transfer():
     assert out["C"].order is None
 
 
+def test_pass2_coverage_gate_rejects_fragments():
+    """The qcovs>=80 equivalent (reference app.py:417-432): a query whose
+    MATCHED REGION is only a minority of its length must not receive a
+    transferred label, even though that region is near-identical; disabling
+    the gate (min_coverage=0) recovers the old permissive behavior."""
+    import numpy as np
+
+    from subphaser_tpu.ltr.classify import Classification, classify_pass2
+
+    rng = np.random.default_rng(11)
+    bases = "ACGT"
+
+    def rand_seq(n):
+        return "".join(rng.choice(list(bases), size=n))
+
+    a = rand_seq(3000)
+    # query = 600 bp perfect fragment of `a` + 2400 bp unrelated: blast
+    # qcovs would be ~20%, far below the reference's 80% gate
+    frag = a[:600] + rand_seq(2400)
+    # full-coverage control: mild mutations across the WHOLE query
+    full = "".join(
+        ch if rng.random() > 0.02 else rng.choice([c for c in bases if c != ch])
+        for ch in a
+    )
+    elements = [("A", a), ("FRAG", frag), ("FULL", full)]
+
+    def fresh():
+        return {
+            "A": Classification(id="A", order="LTR", superfamily="Gypsy",
+                                clade="Tekay", completed="yes", strand="+"),
+            "FRAG": Classification(id="FRAG"),
+            "FULL": Classification(id="FULL"),
+        }
+
+    out = classify_pass2(elements, fresh(), min_identity=0.0)
+    assert out["FULL"].order == "LTR"
+    assert out["FRAG"].order is None  # rejected by the coverage gate
+
+    out_nogate = classify_pass2(elements, fresh(), min_identity=0.0,
+                                min_coverage=0.0)
+    assert out_nogate["FRAG"].order == "LTR"  # old permissive behavior
+
+
 def test_calibrated_threshold_rejects_noise(hmm_db):
     """Null-model calibration: random DNA stays unclassified at default
     (calibrated) threshold, across a range of element lengths."""

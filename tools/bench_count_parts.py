@@ -28,7 +28,7 @@ def log(*a):
 
 def main():
     from subphaser_tpu.io.genome import tile_words_for
-    from subphaser_tpu.ops.count import sort_rle, threshold_compact, count_surviving
+    from subphaser_tpu.ops.count import sort_rle
     from subphaser_tpu.ops.kmer import SENTINEL
 
     n_pos_words = TILE_BASES // 16
@@ -74,15 +74,6 @@ def main():
         return jnp.sum((u & 0xFFFF) * w) + jnp.sum(cnt * w)
 
     stages["codes+sort_rle"] = s_rle
-
-    @jax.jit
-    def s_full(ws, vs, salt):
-        c = codes_of(ws, vs, salt)
-        u, cnt = sort_rle(c)
-        uu, cc = threshold_compact(u, cnt, 2, 1 << 22)
-        return jnp.sum((uu & 0xFFFF) * (w[: 1 << 22])) + jnp.sum(cc * (w[: 1 << 22]))
-
-    stages["+threshold_compact"] = s_full
 
     from subphaser_tpu.ops.count import _sorted_run_survivors, _compact_survivors
 
