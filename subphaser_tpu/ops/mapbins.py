@@ -180,6 +180,21 @@ class HitSet:
         _keep, _runlen, m = _sorted_run_survivors(s, 1)
         return int(m)
 
+    def snapshot(self) -> "np.ndarray":
+        """Distinct hit indices as a sorted host array (SENTINEL stripped).
+
+        Used by the per-chromosome mapping checkpoint: the snapshot persists
+        to disk and re-enters a fresh HitSet on resume (distinctness across
+        chromosomes is restored by the final count()'s global sort)."""
+        import numpy as np
+
+        if not self.parts:
+            return np.zeros(0, dtype=np.int32)
+        if len(self.parts) > 1:
+            self._consolidate()
+        u = np.asarray(self.parts[0])
+        return u[u != SENTINEL]
+
 
 class BinAccumulator:
     """Accumulates per-tile bin counts into per-chromosome dense arrays.

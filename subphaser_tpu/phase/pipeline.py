@@ -449,7 +449,6 @@ class Pipeline:
                 table = build_sig_table(codes, sgs, self.k)
         else:
             from subphaser_tpu.ops.mapbins import map_tiles_batch
-        tiles = list(self.genome.tiles(self.k, tile_bases=self.tile_bases))
         batch = self._map_batch()
         mesh = getattr(self, "mesh", None)
         if mesh is not None:
@@ -464,58 +463,142 @@ class Pipeline:
             batch -= batch % n_dev
             shard_w = NamedSharding(mesh, P("data", None))
             shard_s = NamedSharding(mesh, P("data"))
+
+        # per-chromosome mapping checkpoints (reference checkpoints sg_map
+        # after mapping, __main__.py:478-487; here the granularity is one
+        # chromosome so a crash mid-mapping resumes without recompute).
+        # Params carry a digest of the significant-kmer set: changed filter
+        # output invalidates stale bins.
+        import hashlib as _hashlib
+
+        from subphaser_tpu.ops.mapbins import HitSet
+
+        sig_digest = _hashlib.sha256(
+            np.asarray(sig.codes).tobytes() + np.asarray(sig.sg).tobytes()
+        ).hexdigest()[:16]
+        map_params = {"k": self.k, "bin": BIN_SIZE, "nsg": n_sg,
+                      "tile": self.tile_bases, "sig": sig_digest}
+        labels = self.chrom_labels
+        done: set[int] = set()
+        for ci, label in enumerate(labels):
+            name = f"map_bins_{label}"
+            if self.ckp.has(name, map_params):
+                payload = self.ckp.load(name)
+                bins = payload.get("bins")
+                if bins is None or bins.shape != acc.per_chrom[ci].shape:
+                    continue
+                acc.per_chrom[ci] = bins.astype(np.int64)
+                acc.mapped_positions += int(bins.sum())
+                hits = payload.get("hits")
+                if hits is not None and hits.size:
+                    acc.add(ci, np.zeros((0, n_sg), np.int64), 0, hits)
+                done.add(ci)
+        if done:
+            logger.info("Resumed mapping from checkpoint for %d/%d chromosomes",
+                        len(done), len(labels))
+
         # dispatch-ahead window: jax dispatch is async, so keeping a few
         # batches in flight overlaps device compute with the host-side
         # stack/upload of the next batch (the same overlap the counting
-        # loop uses; the per-batch np.asarray sync otherwise serializes)
+        # loop uses; the per-batch np.asarray sync otherwise serializes).
+        # Batches never span chromosomes so each chromosome's distinct hits
+        # checkpoint exactly when its last batch collects.
         from collections import deque as _deque
 
         map_window: _deque = _deque()
+        chrom_hits: dict[int, HitSet] = {}
+        chrom_pending: dict[int, int] = {}
+        # the snapshot download (distinct hit list, potentially tens of MB
+        # through the tunnel) runs on a worker thread so it overlaps the
+        # next chromosome's dispatches; the semaphore bounds in-flight
+        # downloads, the lock serializes HitSet mutation on the shared acc
+        import threading as _threading
+
+        finish_threads: list = []
+        finish_sem = _threading.Semaphore(2)
+        hits_lock = _threading.Lock()
+
+        def _finish_chrom(ci: int) -> None:
+            hs = chrom_hits.pop(ci)
+
+            def _work():
+                try:
+                    snap = hs.snapshot()
+                    with hits_lock:
+                        acc.add(ci, np.zeros((0, n_sg), np.int64), 0, snap)
+                    self.ckp.save(f"map_bins_{labels[ci]}", map_params,
+                                  bins=acc.per_chrom[ci], hits=snap)
+                finally:
+                    finish_sem.release()
+
+            finish_sem.acquire()
+            t = _threading.Thread(target=_work, daemon=True,
+                                  name=f"map-ckpt-{labels[ci]}")
+            t.start()
+            finish_threads.append(t)
 
         def _collect_map():
-            bt_w, bcs_w, hm_w = map_window.popleft()
+            ci, bt_w, bcs_w, hm_w = map_window.popleft()
             bcs_np = np.asarray(bcs_w)
             for i, t in enumerate(bt_w):
-                acc.add(t.chrom_index, bcs_np[i], t.start // BIN_SIZE,
-                        hm_w if i == 0 else None)
+                acc.add(t.chrom_index, bcs_np[i], t.start // BIN_SIZE, None)
+            chrom_hits.setdefault(ci, HitSet()).add(hm_w)
+            chrom_pending[ci] -= 1
+            if chrom_pending[ci] == 0:
+                _finish_chrom(ci)
 
-        for lo in range(0, len(tiles), batch):
-            bt = tiles[lo : lo + batch]
-            words = np.stack([t.words for t in bt])
-            vwords = np.stack([t.vwords for t in bt])
-            starts = np.array([t.start for t in bt], dtype=np.int32)
-            if len(bt) < batch:
-                pad = batch - len(bt)
-                words = np.concatenate([words, np.zeros((pad,) + words.shape[1:], words.dtype)])
-                vwords = np.concatenate([vwords, np.zeros((pad,) + vwords.shape[1:], vwords.dtype)])
-                starts = np.concatenate([starts, np.zeros(pad, np.int32)])
-            if mesh is not None:
-                import jax as _jax
+        all_tiles = [
+            t for t in self.genome.tiles(self.k, tile_bases=self.tile_bases)
+            if t.chrom_index not in done
+        ]
+        from itertools import groupby as _groupby
 
-                words = _jax.device_put(words, shard_w)
-                vwords = _jax.device_put(vwords, shard_w)
-                starts = _jax.device_put(starts, shard_s)
-            if use_dense:
-                if batch > 1:
-                    w_in, v_in, s_in = words, vwords, starts
+        chrom_tiles = [
+            (ci, list(ts))
+            for ci, ts in _groupby(all_tiles, key=lambda t: t.chrom_index)
+        ]
+        for ci, tiles in chrom_tiles:
+            chrom_pending[ci] = -(-len(tiles) // batch)
+        for ci, tiles in chrom_tiles:
+            for lo in range(0, len(tiles), batch):
+                bt = tiles[lo : lo + batch]
+                words = np.stack([t.words for t in bt])
+                vwords = np.stack([t.vwords for t in bt])
+                starts = np.array([t.start for t in bt], dtype=np.int32)
+                if len(bt) < batch:
+                    pad = batch - len(bt)
+                    words = np.concatenate([words, np.zeros((pad,) + words.shape[1:], words.dtype)])
+                    vwords = np.concatenate([vwords, np.zeros((pad,) + vwords.shape[1:], vwords.dtype)])
+                    starts = np.concatenate([starts, np.zeros(pad, np.int32)])
+                if mesh is not None:
+                    import jax as _jax
+
+                    words = _jax.device_put(words, shard_w)
+                    vwords = _jax.device_put(vwords, shard_w)
+                    starts = _jax.device_put(starts, shard_s)
+                if use_dense:
+                    if batch > 1:
+                        w_in, v_in, s_in = words, vwords, starts
+                    else:
+                        w_in, v_in, s_in = words[0], vwords[0], np.int32(starts[0])
+                    bcs, hitmask = map_tiles_batch_dense(
+                        w_in, v_in, table, sgs, s_in,
+                        k=self.k, n_pos_words=n_pos_words, bin_size=BIN_SIZE,
+                        n_sg=n_sg, nbins_tile=nbt,
+                    )
                 else:
-                    w_in, v_in, s_in = words[0], vwords[0], np.int32(starts[0])
-                bcs, hitmask = map_tiles_batch_dense(
-                    w_in, v_in, table, sgs, s_in,
-                    k=self.k, n_pos_words=n_pos_words, bin_size=BIN_SIZE,
-                    n_sg=n_sg, nbins_tile=nbt,
-                )
-            else:
-                bcs, hitmask = map_tiles_batch(
-                    words, vwords, codes, sgs, starts,
-                    k=self.k, n_pos_words=n_pos_words, bin_size=BIN_SIZE,
-                    n_sg=n_sg, nbins_tile=nbt,
-                )
-            map_window.append((bt, bcs, hitmask))
-            while len(map_window) > 2:
-                _collect_map()
+                    bcs, hitmask = map_tiles_batch(
+                        words, vwords, codes, sgs, starts,
+                        k=self.k, n_pos_words=n_pos_words, bin_size=BIN_SIZE,
+                        n_sg=n_sg, nbins_tile=nbt,
+                    )
+                map_window.append((ci, bt, bcs, hitmask))
+                while len(map_window) > 2:
+                    _collect_map()
         while map_window:
             _collect_map()
+        for t in finish_threads:
+            t.join()
         meter.stop(self.genome.total_bases() / 1e6)
         meter.log()
         total = max(len(sig), 1)

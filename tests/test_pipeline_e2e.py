@@ -94,6 +94,75 @@ def test_figures_written(outdir):
         assert (out / name).stat().st_size > 1000, name
 
 
+def test_map_checkpoint_resume_mid_mapping(tmp_path, caplog, monkeypatch):
+    """A crash mid-mapping resumes from per-chromosome checkpoints without
+    recomputing the finished chromosomes (reference granularity:
+    __main__.py:478-487 sg_map checkpoint)."""
+    import logging
+
+    import subphaser_tpu.ops.mapbins as mapbins_mod
+    from subphaser_tpu.phase.pipeline import Pipeline
+
+    genome, cfg = make_genome(str(tmp_path), n_sets=3, chrom_size=100_000)
+    kwargs = dict(
+        min_freq=50, replicates=50, tile_bases=1 << 16, figfmt="png",
+        disable_ltr=True, disable_circos=True, window_size=50_000,
+    )
+    real = mapbins_mod.map_tiles_batch
+    calls_ref = {"n": 0}
+
+    def counting_ref(*a, **kw):
+        calls_ref["n"] += 1
+        return real(*a, **kw)
+
+    # uninterrupted reference run, counting the mapping dispatches
+    monkeypatch.setattr(mapbins_mod, "map_tiles_batch", counting_ref)
+    Pipeline([genome], [cfg], outdir=str(tmp_path / "out_ref"),
+             tmpdir=str(tmp_path / "tmp_ref"), **kwargs).run()
+    n_batches = calls_ref["n"]
+    assert n_batches >= 6  # one per chromosome minimum
+
+    class Boom(RuntimeError):
+        pass
+
+    calls = {"n": 0}
+
+    def crashing(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == n_batches:  # crash on the last mapping dispatch
+            raise Boom("simulated crash mid-mapping")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(mapbins_mod, "map_tiles_batch", crashing)
+    with pytest.raises(Boom):
+        Pipeline([genome], [cfg], outdir=str(tmp_path / "out"),
+                 tmpdir=str(tmp_path / "tmp"), **kwargs).run()
+    saved = [p for p in os.listdir(tmp_path / "tmp")
+             if p.startswith("map_bins_") and p.endswith(".ok.json")]
+    assert saved, "no per-chromosome mapping checkpoint written before crash"
+
+    # resume: same tmpdir; count only the mapping dispatches
+    calls2 = {"n": 0}
+
+    def counting(*a, **kw):
+        calls2["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(mapbins_mod, "map_tiles_batch", counting)
+    with caplog.at_level(logging.INFO, logger="subphaser_tpu"):
+        Pipeline([genome], [cfg], outdir=str(tmp_path / "out"),
+                 tmpdir=str(tmp_path / "tmp"), **kwargs).run()
+    assert any("Resumed mapping from checkpoint" in r.message
+               for r in caplog.records)
+    # the checkpointed chromosomes must not be re-dispatched
+    assert calls2["n"] <= n_batches - len(saved) * (n_batches // 6)
+
+    for fname in ["k15_q50_f2.subgenome.bin.count", "k15_q50_f2.bin.enrich"]:
+        ref = (tmp_path / "out_ref" / fname).read_bytes()
+        res = (tmp_path / "out" / fname).read_bytes()
+        assert ref == res, f"{fname} differs after resume"
+
+
 def test_checkpoint_resume(outdir, caplog):
     out, pipe = outdir
     import logging
