@@ -1025,4 +1025,101 @@ int64_t sp_pack_body(const uint8_t* body, int64_t n, int32_t* packed,
   return nbases;
 }
 
+// ---------------------------------------------------------------------------
+// sp_profile_align: global affine-gap (Gotoh) alignment of two peptide
+// PROFILES — the merge step of the progressive MSA that replaces the
+// reference's mafft call on concatenated domain peptides
+// (reference LTR.py:144-299, api/TEsorter/modules/concatenate_domains.py).
+//
+// p1 is (l1 x 21) float32 row-major column frequencies (20 amino acids +
+// gap at index 20). sp2 is (l2 x 21) float32 premultiplied by the
+// substitution matrix (sp2[j] = S @ f2[j], one numpy matmul caller-side),
+// so each DP cell's profile-sum-of-pairs score is a plain 21-dim dot.
+// gap_open/gap_ext are positive penalties. Writes (op, len) runs to
+// ops_out: 0 = aligned column pair, 1 = column from profile 1 only
+// (gap inserted into profile 2), 2 = column from profile 2 only.
+// Returns the run count, or -1 when max_ops is too small.
+// ---------------------------------------------------------------------------
+int sp_profile_align(const float* p1, int32_t l1, const float* sp2, int32_t l2,
+                     float gap_open, float gap_ext,
+                     int32_t* ops_out, int32_t max_ops) {
+  if (l1 < 0 || l2 < 0) return -1;
+  const float NEG = -1e30f;
+  const int64_t W = (int64_t)l2 + 1;
+  std::vector<float> M(W), X(W), Y(W), nM(W), nX(W), nY(W);
+  // traceback: 2 bits for M's source (0=M,1=X,2=Y), 1 bit each for X/Y
+  // (0 = opened from M, 1 = extended)
+  std::vector<uint8_t> tb((int64_t)(l1 + 1) * W, 0);
+  M[0] = 0; X[0] = NEG; Y[0] = NEG;
+  for (int j = 1; j <= l2; ++j) {
+    M[j] = NEG; X[j] = NEG;
+    Y[j] = -gap_open - gap_ext * (float)(j - 1);
+    tb[j] = (j > 1) ? (1u << 3) : 0;  // Y extended after the first open
+  }
+  for (int i = 1; i <= l1; ++i) {
+    const float* f1 = p1 + (int64_t)(i - 1) * 21;
+    nM[0] = NEG; nY[0] = NEG;
+    nX[0] = -gap_open - gap_ext * (float)(i - 1);
+    uint8_t* trow = tb.data() + (int64_t)i * W;
+    trow[0] = (i > 1) ? (1u << 2) : 0;
+    for (int j = 1; j <= l2; ++j) {
+      const float* s2 = sp2 + (int64_t)(j - 1) * 21;
+      float sc = 0.f;
+      for (int a = 0; a < 21; ++a) sc += f1[a] * s2[a];
+      // M from best of prior cell's three states
+      float dm = M[j - 1], dx = X[j - 1], dy = Y[j - 1];
+      uint8_t msrc = 0; float dbest = dm;
+      if (dx > dbest) { dbest = dx; msrc = 1; }
+      if (dy > dbest) { dbest = dy; msrc = 2; }
+      nM[j] = dbest + sc;
+      // X: column from profile 1 (advance i)
+      float xo = M[j] - gap_open, xe = X[j] - gap_ext;
+      uint8_t xsrc = xe > xo ? 1 : 0;
+      nX[j] = xe > xo ? xe : xo;
+      // Y: column from profile 2 (advance j)
+      float yo = nM[j - 1] - gap_open, ye = nY[j - 1] - gap_ext;
+      uint8_t ysrc = ye > yo ? 1 : 0;
+      nY[j] = ye > yo ? ye : yo;
+      trow[j] = msrc | (xsrc << 2) | (ysrc << 3);
+    }
+    M.swap(nM); X.swap(nX); Y.swap(nY);
+  }
+  // traceback from the best final state
+  int state = 0;  // 0=M 1=X 2=Y
+  float best = M[l2];
+  if (X[l2] > best) { best = X[l2]; state = 1; }
+  if (Y[l2] > best) { best = Y[l2]; state = 2; }
+  std::vector<std::pair<int32_t, int32_t>> runs;  // reversed
+  int i = l1, j = l2;
+  auto push = [&](int32_t op) {
+    if (!runs.empty() && runs.back().first == op) ++runs.back().second;
+    else runs.push_back({op, 1});
+  };
+  while (i > 0 || j > 0) {
+    uint8_t t = tb[(int64_t)i * W + j];
+    if (i == 0) state = 2;
+    else if (j == 0) state = 1;
+    if (state == 0) {
+      push(0);
+      state = t & 3;
+      --i; --j;
+    } else if (state == 1) {
+      push(1);
+      state = ((t >> 2) & 1) ? 1 : 0;
+      --i;
+    } else {
+      push(2);
+      state = ((t >> 3) & 1) ? 2 : 0;
+      --j;
+    }
+  }
+  if ((int32_t)runs.size() > max_ops) return -1;
+  int cnt = (int32_t)runs.size();
+  for (int t = 0; t < cnt; ++t) {
+    ops_out[2 * t] = runs[cnt - 1 - t].first;
+    ops_out[2 * t + 1] = runs[cnt - 1 - t].second;
+  }
+  return cnt;
+}
+
 }  // extern "C"

@@ -149,6 +149,13 @@ def load():
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.sp_profile_align.restype = ctypes.c_int
+        lib.sp_profile_align.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+            ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ]
         lib.sp_build_cs.restype = ctypes.c_int64
         lib.sp_build_cs.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
@@ -256,6 +263,32 @@ def build_cs_native(
     if n < 0:
         raise RuntimeError("sp_build_cs: output buffer too small")
     return out.value.decode(), int(nmatch.value), int(alen.value)
+
+
+def profile_align(p1: np.ndarray, sp2: np.ndarray,
+                  gap_open: float = 11.0, gap_ext: float = 1.0) -> np.ndarray:
+    """Global affine-gap alignment of two peptide profiles (progressive-MSA
+    merge; replaces the reference's mafft call, LTR.py:144-299).
+
+    ``p1``: (L1, 21) float32 column frequencies. ``sp2``: (L2, 21) float32 =
+    profile-2 frequencies premultiplied by the substitution matrix
+    (``f2 @ S.T``). Returns (n, 2) int32 (op, len) runs: 0 = aligned column
+    pair, 1 = column from profile 1 only, 2 = from profile 2 only."""
+    lib = load()
+    p1 = np.ascontiguousarray(p1, dtype=np.float32)
+    sp2 = np.ascontiguousarray(sp2, dtype=np.float32)
+    l1, l2 = p1.shape[0], sp2.shape[0]
+    cap = 2 * (l1 + l2) + 16
+    out = np.zeros(2 * cap, dtype=np.int32)
+    fptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))  # noqa: E731
+    n = lib.sp_profile_align(
+        fptr(p1), l1, fptr(sp2), l2,
+        ctypes.c_float(gap_open), ctypes.c_float(gap_ext),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap,
+    )
+    if n < 0:
+        raise RuntimeError("sp_profile_align: ops buffer too small")
+    return out[: 2 * n].reshape(n, 2)
 
 
 def lis_indices(t: np.ndarray) -> np.ndarray:

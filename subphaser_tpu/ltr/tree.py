@@ -1,15 +1,17 @@
-"""Subgenome-specific LTR phylogenies: sketch distances -> NJ -> circular plot.
+"""Subgenome-specific LTR phylogenies -> NJ trees -> circular plot.
 
 The reference pipeline concatenates TEsorter domain peptides per
-(Copia/Gypsy), aligns with mafft, trims, runs FastTree, reroots, and renders
-with ggtree (reference LTR.py:144-299). This native redesign:
+(Copia/Gypsy), aligns with mafft, trims with trimal, runs FastTree,
+reroots, and renders with ggtree (reference LTR.py:144-299). This native
+redesign:
 
 - groups SG-specific LTRs by classified superfamily (or one group when the
   classification database is absent)
-- estimates pairwise evolutionary distances alignment-free from MinHash
-  k-mer sketches (Mash distance), with the pair intersections computed on
-  device (vmapped searchsorted)
-- builds the tree with the native neighbor-joining (ltr/_native sp_nj_tree)
+- with domain peptides: ALIGNMENT-BASED trees — native progressive MSA +
+  trimming + device Kimura distances + NJ with bootstrap supports (ltr/msa)
+- without domains (whole-element DNA): alignment-free MinHash sketch (Mash)
+  distances, pair intersections computed on device (vmapped searchsorted)
+- builds trees with the native neighbor-joining (ltr/_native sp_nj_tree)
 - renders a circular tree colored by subgenome with matplotlib
 """
 
@@ -46,33 +48,6 @@ def _sketch(seq: str, k: int = SKETCH_K, s: int = SKETCH) -> np.ndarray:
     canon = canonical_code(code[ok], k).astype(np.uint64)
     # splitmix-ish scramble so bottom-s is uniform
     h = canon * np.uint64(0x9E3779B97F4A7C15)
-    h ^= h >> np.uint64(29)
-    h *= np.uint64(0xBF58476D1CE4E5B9)
-    h ^= h >> np.uint64(32)
-    u = np.unique(h)
-    return u[:s]
-
-
-_AA20 = "ACDEFGHIKLMNPQRSTVWY"
-_AA_ORD = {a: i for i, a in enumerate(_AA20)}
-
-
-def _sketch_peptide(pep: str, k: int = 5, s: int = SKETCH) -> np.ndarray:
-    """Bottom-s MinHash sketch of amino-acid k-mer hashes (uint64, sorted).
-
-    Used for domain-based trees: the reference concatenates per-domain
-    peptides and aligns them (concatenate_domains.py:10-143 + mafft);
-    here peptide k-mer sketches feed the same NJ machinery.
-    """
-    idx = np.array([_AA_ORD.get(a, -1) for a in pep.upper()], dtype=np.int64)
-    idx = idx[idx >= 0]
-    n = idx.size - k + 1
-    if n <= 0:
-        return np.zeros(0, dtype=np.uint64)
-    code = np.zeros(n, dtype=np.int64)
-    for j in range(k):
-        code = code * 20 + idx[j : j + n]
-    h = code.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
     h ^= h >> np.uint64(29)
     h *= np.uint64(0xBF58476D1CE4E5B9)
     h ^= h >> np.uint64(32)
@@ -203,14 +178,24 @@ def build_ltr_trees(
         # ':' in LTR ids collides with newick branch-length syntax
         names = [ltr.id.replace(":", "_") for ltr in ltrs]
         if peptides is not None:
-            sketches = [_sketch_peptide(p) for p in peptides]
-            dist = mash_distances(sketches, k=5)
+            # alignment-based tree (reference LTR.py:144-299: mafft + trimal
+            # + FastTree): native progressive MSA, trimal-style trimming,
+            # device Kimura distances, NJ + bootstrap supports (ltr/msa)
+            from subphaser_tpu.ltr import msa as msamod
+
+            aln = msamod.progressive_msa(peptides)
+            msamod.write_fasta_alignment(f"{out_prefix}.{key}.aln", names, aln)
+            trimmed, _kept = msamod.trim_alignment(aln)
+            msamod.write_fasta_alignment(
+                f"{out_prefix}.{key}.trimal", names, trimmed
+            )
+            newick = msamod.nj_with_support(trimmed, names, n_boot=100)
         else:
             sketches = [
                 _sketch(ltr.get_full_seq(d_seqs[ltr.seq_id])) for ltr in ltrs
             ]
             dist = mash_distances(sketches)
-        newick = nj_tree(dist, names)
+            newick = nj_tree(dist, names)
         try:
             newick = reroot_midpoint(newick)
         except Exception as e:  # noqa: BLE001 — plotting must not kill runs

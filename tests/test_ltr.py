@@ -323,3 +323,77 @@ def test_seed_cap_escalation_retry():
     # retry path must converge to the same candidates as the generous cap
     assert {r.key for r in recs_small} == {r.key for r in recs_big}
     assert recs_big, "planted LTR not detected"
+
+
+def test_alignment_tree_beats_sketch_on_low_divergence():
+    """The alignment-based tree (progressive MSA + Kimura distances + NJ,
+    ltr/msa — reference mafft+trimal+FastTree, LTR.py:144-299) recovers the
+    true simulated topology where sketch-NJ does not: at low divergence on
+    short peptides, 256-hash Jaccard quantization swamps 1-2 residue
+    differences while alignment p-distances resolve them."""
+    from subphaser_tpu.ltr import msa as msamod
+    from subphaser_tpu.ltr.msa import (
+        AA,
+        nj_with_support,
+        progressive_msa,
+        trim_alignment,
+    )
+    from subphaser_tpu.ltr.native import nj_tree
+    from subphaser_tpu.ltr.tree import mash_distances
+
+    def evolve(seq, nmut, rng):
+        s = list(seq)
+        for p in rng.choice(len(s), nmut, replace=False):
+            s[p] = AA[rng.integers(0, 20)]
+        return "".join(s)
+
+    rng = np.random.default_rng(7)  # seed where the sketch tree fails
+    root = "".join(rng.choice(list(AA), 70))
+    a, b = evolve(root, 4, rng), evolve(root, 4, rng)
+    pairs = [evolve(a, 2, rng), evolve(a, 2, rng),
+             evolve(b, 2, rng), evolve(b, 2, rng)]
+    names = ["A1", "A2", "A3", "A4", "B1", "B2", "B3", "B4"]
+    parents = [pairs[0], pairs[0], pairs[1], pairs[1],
+               pairs[2], pairs[2], pairs[3], pairs[3]]
+    peps = [evolve(p, 1, rng) for p in parents]
+
+    def canon(bps):
+        out = set()
+        for s in bps:
+            comp = frozenset(set(names) - s)
+            out.add(min(s, comp, key=lambda x: sorted(x)))
+        return out
+
+    true_c = canon({
+        frozenset(x) for x in
+        [("A1", "A2"), ("A3", "A4"), ("B1", "B2"), ("B3", "B4"),
+         ("A1", "A2", "A3", "A4")]
+    })
+
+    aln = progressive_msa(peps)
+    trimmed, _ = trim_alignment(aln)
+    nwk_aln = nj_with_support(trimmed, names, n_boot=25, seed=0)
+    aln_c = canon(msamod._bipartitions(nwk_aln))
+    assert true_c <= aln_c, f"alignment tree missed: {true_c - aln_c}"
+
+    # peptide 5-mer minhash sketches (the pre-round-3 approach)
+    def pep_sketch(p, k=5, s=256):
+        idx = msamod.encode_peptides([p])[0].astype(np.int64)
+        n = idx.size - k + 1
+        code = np.zeros(n, dtype=np.int64)
+        for j in range(k):
+            code = code * 20 + idx[j : j + n]
+        h = code.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(32)
+        return np.unique(h)[:s]
+
+    nwk_sk = nj_tree(mash_distances([pep_sketch(p) for p in peps], k=5), names)
+    sk_c = canon(msamod._bipartitions(nwk_sk))
+    assert not (true_c <= sk_c), "sketch tree unexpectedly perfect"
+
+    # bootstrap supports present on the alignment tree's internal nodes
+    import re
+
+    assert re.search(r"\)\d+:", nwk_aln), nwk_aln
