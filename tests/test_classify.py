@@ -253,3 +253,95 @@ def test_domain_positions_recorded(hmm_db):
 
     m = SequenceMatcher(None, pep, rt).find_longest_match(0, len(pep), 0, len(rt))
     assert m.size >= len(rt) // 2, (m.size, len(rt))
+
+
+# ---------------------------------------------------------------------------
+# realistic-fixture + forward-oracle decision parity (tests/hmm_fixture)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def realistic_db(tmp_path_factory):
+    """HMMER3 fixture with real hmmbuild field structure (ACC/DESC/STATS/
+    GA-TC-NC/MAP/CONS) and emissions derived from simulated seed
+    alignments with Dirichlet pseudocounts (tests/hmm_fixture)."""
+    from tests.hmm_fixture import profile_from_family, simulate_family, write_hmmer3
+
+    rng = np.random.default_rng(42)
+    path = tmp_path_factory.mktemp("hmm") / "rexdb_real.hmm"
+    fams = {}
+    specs = []
+    for dom, length in (("RT", 220), ("INT", 160), ("RH", 130)):
+        anc, members = simulate_family(rng, length)
+        fams[dom] = anc
+        specs.append({
+            "name": f"Class_I/LTR/Ty1_copia/Angela/{dom}",
+            "match_probs": profile_from_family(members),
+            "ga": 25.0,
+        })
+    write_hmmer3(str(path), specs)
+    return str(path), fams
+
+
+def test_realistic_fixture_parses(realistic_db):
+    path, fams = realistic_db
+    profs = load_hmm_db(path)
+    assert len(profs) == 3
+    assert [p.length for p in profs] == [220, 160, 130]
+    # emissions are probabilistic (no -inf in match rows) and log-odds-ish
+    for p in profs:
+        assert np.isfinite(p.match_scores[1:]).all()
+        assert p.match_scores[1:].max() < 4.0  # pseudocounted, not one-hot
+
+
+def test_forward_oracle_decision_parity(realistic_db):
+    """The package's calibrated-Viterbi accept/reject decisions agree with
+    a calibrated FORWARD-algorithm oracle (hmmsearch ranks by forward
+    E-values; reference app.py:719-930) on clear positives and negatives.
+    """
+    from tests.hmm_fixture import BG, forward_local
+
+    path, fams = realistic_db
+    profs = load_hmm_db(path)
+    from subphaser_tpu.ltr.classify import ProfileStack, calibrate_null_threshold
+
+    stack = ProfileStack(profs)
+    thr_fn = calibrate_null_threshold(stack)
+
+    rng = np.random.default_rng(3)
+
+    def null_forward_threshold(L, n=8, margin=3.0):
+        best = []
+        for _ in range(n):
+            idx = rng.choice(20, size=L, p=BG).astype(np.int32)
+            best.append(max(forward_local(idx, p) for p in profs))
+        return float(np.mean(best) + margin * (np.std(best) + 1e-9))
+
+    L = 300
+    fwd_thr = null_forward_threshold(L)
+
+    cases = []
+    # positives: family members at two divergence levels inside random flank
+    for nmut in (30, 75):
+        for dom in ("RT", "INT"):
+            anc = fams[dom].copy()
+            pos = rng.choice(anc.size, size=nmut, replace=False)
+            anc[pos] = rng.choice(20, size=nmut, p=BG)
+            pad = rng.choice(20, size=L - anc.size if anc.size < L else 10, p=BG)
+            cases.append(("pos", np.concatenate([pad, anc]).astype(np.int32)))
+    # negatives: background-composition random peptides
+    for _ in range(6):
+        cases.append(("neg", rng.choice(20, size=L, p=BG).astype(np.int32)))
+
+    agree = 0
+    for label, idx in cases:
+        vit = float(np.max(stack.scores_pos(idx)[0]))
+        v_accept = vit >= max(15.0, thr_fn(idx.size))
+        fwd = max(forward_local(idx, p) for p in profs)
+        f_accept = fwd >= fwd_thr
+        assert v_accept == f_accept, (
+            f"{label}: viterbi {vit:.1f} (thr {thr_fn(idx.size):.1f}) vs "
+            f"forward {fwd:.1f} (thr {fwd_thr:.1f})"
+        )
+        # both must also match the ground-truth label on these clear cases
+        assert v_accept == (label == "pos")
+        agree += 1
+    assert agree == len(cases)
