@@ -53,6 +53,61 @@ def host_tile_slice(n_tiles: int) -> slice:
     return slice(p * per, min((p + 1) * per, n_tiles))
 
 
+def owns_chrom(ci: int) -> bool:
+    """Round-robin chromosome ownership for multi-process counting."""
+    return ci % jax.process_count() == jax.process_index()
+
+
+def exchange_chrom_spectra(results: dict, chrom_names: list[str]):
+    """Fill per-chromosome spectra counted on OTHER processes.
+
+    Each process counted only the chromosomes it owns (owns_chrom); the
+    full (codes, counts, total) spectra are exchanged with one padded
+    process_allgather per field so every process ends with the complete,
+    identical set — the collective replacement for the reference's
+    per-array-job dump files merged by the parent (RunCmdsMP.py:38-217,
+    Jellyfish.py:446-458). Pads to the global max spectrum size, so this
+    targets multi-host scale-out of the COUNTING phase; the exchanged
+    spectra are the post-threshold survivors (small next to raw counts).
+
+    ``results`` maps chrom index -> ChromSpectrum for owned chromosomes
+    and is completed in place.
+    """
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    from subphaser_tpu.phase.spectrum import ChromSpectrum
+
+    n = len(chrom_names)
+    sizes = np.zeros(n, np.int64)
+    totals = np.zeros(n, np.int64)
+    for ci, s in results.items():
+        sizes[ci] = s.codes.size
+        totals[ci] = s.total
+    g_sizes = np.asarray(multihost_utils.process_allgather(sizes)).max(axis=0)
+    g_totals = np.asarray(multihost_utils.process_allgather(totals)).max(axis=0)
+    cap = max(int(g_sizes.max()), 1)
+    pc = np.zeros((n, cap), np.int32)
+    pn = np.zeros((n, cap), np.int64)
+    for ci, s in results.items():
+        pc[ci, : s.codes.size] = s.codes
+        pn[ci, : s.codes.size] = s.counts
+    gc = np.asarray(multihost_utils.process_allgather(pc))
+    gn = np.asarray(multihost_utils.process_allgather(pn))
+    nproc = jax.process_count()
+    for ci in range(n):
+        if ci in results:
+            continue
+        owner = ci % nproc
+        m = int(g_sizes[ci])
+        results[ci] = ChromSpectrum(
+            name=chrom_names[ci],
+            codes=gc[owner, ci, :m].copy(),
+            counts=gn[owner, ci, :m].copy(),
+            total=int(g_totals[ci]),
+        )
+
+
 def allgather_spectrum(codes, counts, cap: int, lower_count: int = 1):
     """Merge per-process partial spectra into the global spectrum.
 

@@ -198,6 +198,17 @@ class Pipeline:
         self.mesh = None
         devs = _jax.devices()
         want = self.n_devices if self.n_devices else len(devs)
+        if _jax.process_count() > 1:
+            # multi-PROCESS runs distribute by chromosome inside
+            # count_genome (parallel/distributed) instead of a global
+            # device mesh: host-local device_put cannot feed a mesh that
+            # spans other processes' devices
+            want = 1
+            logger.info(
+                "Multi-process run (%d processes): chromosome-sharded "
+                "counting, replicated downstream steps",
+                _jax.process_count(),
+            )
         if want > 1 and len(devs) > 1:
             from jax.sharding import Mesh as _Mesh
 
@@ -287,6 +298,7 @@ class Pipeline:
                 codes_p, sgs_p, self.k, self.tile_bases,
                 self._map_batch(), len(self.sg_names),
                 nbins_for_tile(self.tile_bases, BIN_SIZE), BIN_SIZE,
+                aligned16=BIN_SIZE % 16 == 0 and self.tile_bases % 16 == 0,
             )
 
         self._plot_core_figures(res, cluster, sig)
@@ -449,6 +461,10 @@ class Pipeline:
                 table = build_sig_table(codes, sgs, self.k)
         else:
             from subphaser_tpu.ops.mapbins import map_tiles_batch
+        # tile starts are multiples of the pow2 tile size, so when the bin
+        # size is 16-divisible every word-column lands in one bin and the
+        # column-sum bin counter applies (ops/mapbins.bin_counts_colsum)
+        aligned16 = BIN_SIZE % 16 == 0 and self.tile_bases % 16 == 0
         batch = self._map_batch()
         mesh = getattr(self, "mesh", None)
         if mesh is not None:
@@ -584,13 +600,13 @@ class Pipeline:
                     bcs, hitmask = map_tiles_batch_dense(
                         w_in, v_in, table, sgs, s_in,
                         k=self.k, n_pos_words=n_pos_words, bin_size=BIN_SIZE,
-                        n_sg=n_sg, nbins_tile=nbt,
+                        n_sg=n_sg, nbins_tile=nbt, aligned16=aligned16,
                     )
                 else:
                     bcs, hitmask = map_tiles_batch(
                         words, vwords, codes, sgs, starts,
                         k=self.k, n_pos_words=n_pos_words, bin_size=BIN_SIZE,
-                        n_sg=n_sg, nbins_tile=nbt,
+                        n_sg=n_sg, nbins_tile=nbt, aligned16=aligned16,
                     )
                 map_window.append((ci, bt, bcs, hitmask))
                 while len(map_window) > 2:

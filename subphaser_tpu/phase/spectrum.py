@@ -70,6 +70,24 @@ def count_genome(
     meter = Throughput("kmer counting", unit="Mbp")
     counted_mbp = 0.0
 
+    # multi-PROCESS runs (jax.distributed): round-robin chromosome
+    # ownership, then one collective exchange of the thresholded spectra —
+    # the reference's DRMAA array-jobs + parent merge (RunCmdsMP.py:38-217)
+    # as a jax.distributed allgather. Downstream steps run identically on
+    # every process, so output files are byte-identical across ranks.
+    import jax as _jax
+
+    nproc = _jax.process_count()
+    if nproc > 1:
+        from subphaser_tpu.parallel.distributed import owns_chrom
+
+        logger.info(
+            "Distributed counting: process %d/%d owns %d of %d chromosomes",
+            _jax.process_index(), nproc,
+            sum(owns_chrom(i) for i in range(len(genome.chroms))),
+            len(genome.chroms),
+        )
+
     def batches_of(tiles):
         for lo in range(0, len(tiles), batch_tiles):
             batch = tiles[lo : lo + batch_tiles]
@@ -114,6 +132,8 @@ def count_genome(
         finish_one(ci, chrom, params, ckp_name, codes, counts)
 
     for ci, chrom in enumerate(genome.chroms):
+        if nproc > 1 and not owns_chrom(ci):
+            continue
         # keyed on the chromosome CONTENT (not the run's target set) so
         # re-running with a chromosome subset reuses every unchanged
         # spectrum — the reference's -re_filter workflow, where jellyfish
@@ -238,6 +258,10 @@ def count_genome(
         collect_oldest()
     if counted_mbp > 0:
         meter.stop(counted_mbp)
+    if nproc > 1:
+        from subphaser_tpu.parallel.distributed import exchange_chrom_spectra
+
+        exchange_chrom_spectra(results, [c.name for c in genome.chroms])
     spectra = [results[ci] for ci in range(len(genome.chroms))]
     if meter.seconds > 0:
         meter.log()

@@ -76,3 +76,78 @@ def test_two_process_distributed_count(tmp_path):
     got = np.load(out)
     assert np.array_equal(got["codes"], codes)
     assert np.array_equal(got["counts"], counts)
+
+
+def test_two_process_pipeline_run(tmp_path):
+    """The PRODUCTION ``Pipeline.run`` across 2 jax.distributed processes:
+    chromosome-sharded counting + spectrum exchange, replicated downstream
+    steps; every per-rank output file must be byte-identical to the other
+    rank AND to a single-process run (reference multi-host parity,
+    RunCmdsMP.py:38-217)."""
+    worker = os.path.join(os.path.dirname(__file__), "dist_worker_pipeline.py")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(worker)))
+    shared = tmp_path / "shared"
+    shared.mkdir()
+
+    # shared deterministic input
+    sys.path.insert(0, os.path.dirname(worker))
+    try:
+        from make_synthetic import make_genome
+    finally:
+        sys.path.pop(0)
+    make_genome(str(shared), n_sets=3, chrom_size=100_000)
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (repo, "/root/.axon_site", env.get("PYTHONPATH")) if p
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, f"127.0.0.1:{port}", str(r), "2",
+             str(shared)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for r in range(2)
+    ]
+    outputs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outputs.append(stdout.decode(errors="replace"))
+    for p, text in zip(procs, outputs):
+        assert p.returncode == 0, f"pipeline worker failed:\n{text[-4000:]}"
+    # the distributed-counting path must actually have engaged
+    assert any("Distributed counting" in t for t in outputs), outputs[0][-2000:]
+
+    # single-process run on the same input
+    from subphaser_tpu.phase.pipeline import Pipeline
+
+    Pipeline(
+        [str(shared / "genome.fa.gz")], [str(shared / "sg.config")],
+        outdir=str(shared / "out_single"), tmpdir=str(shared / "tmp_single"),
+        min_freq=50, replicates=50, tile_bases=1 << 16, figfmt="png",
+        disable_ltr=True, disable_circos=True, disable_blocks=True,
+        window_size=50_000,
+    ).run()
+
+    def data_files(d):
+        return sorted(
+            f for f in os.listdir(d)
+            if not f.endswith((".png", ".pdf"))  # figures carry timestamps
+        )
+
+    r0, r1, s = (str(shared / x) for x in ("out_r0", "out_r1", "out_single"))
+    names = data_files(r0)
+    assert names == data_files(r1) == data_files(s), "output sets differ"
+    assert names, "no output files produced"
+    for f in names:
+        b0 = open(os.path.join(r0, f), "rb").read()
+        assert b0 == open(os.path.join(r1, f), "rb").read(), f"rank diff: {f}"
+        assert b0 == open(os.path.join(s, f), "rb").read(), f"single diff: {f}"
