@@ -57,17 +57,56 @@ def bin_counts_contiguous(hit, sg, start, *, bin_size: int, n_sg: int,
     return arr.reshape(n_sg, nbins_tile, bin_size).sum(axis=2, dtype=jnp.int32).T
 
 
+def bin_counts_colsum(hit, sg, start, *, bin_size: int, n_sg: int,
+                      nbins_tile: int):
+    """(16, W) hit/sg grids -> (nbins_tile, n_sg) counts via COLUMN sums.
+
+    Requires ``bin_size % 16 == 0`` and 16-aligned tile starts (both hold
+    on the production path: bin_size 10000 = 625*16 and tile starts are
+    multiples of the pow2 tile size). Each word-column's 16 positions then
+    belong to one bin, so summing over the sublane axis FIRST reduces the
+    data 16x before any relayout — the (n_sg, n_pos) transpose +
+    full-length dynamic_update_slice of :func:`bin_counts_contiguous`
+    (~500 MB of traffic per 34 Mb batch) shrinks to (n_sg, W) column sums.
+    """
+    cpb = bin_size // 16  # columns per bin
+    ids = jnp.arange(n_sg, dtype=sg.dtype)[:, None, None]
+    onehot = (hit[None] & (sg[None] == ids)).astype(jnp.int32)  # (n_sg,16,W)
+    colsum = onehot.sum(axis=1)  # (n_sg, W)
+    q = (jnp.asarray(start, jnp.int32) % bin_size) // 16
+    arr = jnp.zeros((n_sg, nbins_tile * cpb), jnp.int32)
+    arr = jax.lax.dynamic_update_slice(arr, colsum, (jnp.int32(0), q))
+    return arr.reshape(n_sg, nbins_tile, cpb).sum(axis=2, dtype=jnp.int32).T
+
+
+def bin_counts_auto(hit, sg, start, *, bin_size: int, n_sg: int,
+                    nbins_tile: int, aligned16: bool):
+    """Dispatch to the column-sum fast path when alignment allows."""
+    fn = bin_counts_colsum if (aligned16 and bin_size % 16 == 0) \
+        else bin_counts_contiguous
+    return fn(hit, sg, start, bin_size=bin_size, n_sg=n_sg,
+              nbins_tile=nbins_tile)
+
+
 def distinct_hits(hidx_flat, cap: int):
     """Flat hit indices (SENTINEL = miss) -> sorted unique, SENTINEL-padded
-    to ``cap`` entries (cap is clipped to the input size)."""
+    to ``cap`` entries (cap is clipped to the input size).
+
+    Two KEYS-ONLY sorts: the first groups duplicates, the second compacts
+    the run-end survivors (duplicates masked to SENTINEL). The counts
+    payload a key-value compaction would carry is never used here, and a
+    keys-only sort runs ~2x a key-value sort on the v5e."""
+    n = int(hidx_flat.size)
     s = jnp.sort(hidx_flat.reshape(-1))
-    keep, runlen, _m = _sorted_run_survivors(s, 1)
-    u, _c = _compact_survivors(s, keep, runlen, min(cap, int(s.shape[0])))
-    return u
+    end = jnp.concatenate([s[:-1] != s[1:], jnp.ones(1, bool)])
+    u = jnp.sort(jnp.where(end, s, SENTINEL))
+    return u[: min(cap, n)]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "n_pos_words", "bin_size", "n_sg", "nbins_tile")
+    jax.jit,
+    static_argnames=("k", "n_pos_words", "bin_size", "n_sg", "nbins_tile",
+                     "aligned16"),
 )
 def map_tile_bins(
     words,        # int32 (n_words,)
@@ -81,6 +120,7 @@ def map_tile_bins(
     bin_size: int,
     n_sg: int,
     nbins_tile: int,
+    aligned16: bool = False,
 ):
     """Returns (bin_counts int32 (nbins_tile, n_sg), first_bin int32 scalar,
     hits int32 sorted unique sig-table indices hit, padded SENTINEL).
@@ -92,8 +132,9 @@ def map_tile_bins(
     hit = (idx < m) & (sig_codes[idx_c] == fcodes) & (fcodes != SENTINEL)
     sg = sig_sg[idx_c]
 
-    bin_counts = bin_counts_contiguous(
-        hit, sg, start, bin_size=bin_size, n_sg=n_sg, nbins_tile=nbins_tile
+    bin_counts = bin_counts_auto(
+        hit, sg, start, bin_size=bin_size, n_sg=n_sg, nbins_tile=nbins_tile,
+        aligned16=aligned16,
     )
     first_bin = jnp.asarray(start, jnp.int32) // bin_size
     hidx = jnp.where(hit, idx_c.astype(jnp.int32), SENTINEL)
@@ -101,7 +142,9 @@ def map_tile_bins(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "n_pos_words", "bin_size", "n_sg", "nbins_tile")
+    jax.jit,
+    static_argnames=("k", "n_pos_words", "bin_size", "n_sg", "nbins_tile",
+                     "aligned16"),
 )
 def map_tiles_batch(
     words,      # (T, n_words)
@@ -115,6 +158,7 @@ def map_tiles_batch(
     bin_size: int,
     n_sg: int,
     nbins_tile: int,
+    aligned16: bool = False,
 ):
     """Batch of tiles -> ((T, nbins_tile, n_sg) counts, merged hit list).
 
@@ -131,8 +175,9 @@ def map_tiles_batch(
         idx_c = jnp.minimum(idx, m - 1)
         hit = (idx < m) & (sig_codes[idx_c] == fcodes) & (fcodes != SENTINEL)
         sg = sig_sg[idx_c]
-        bc = bin_counts_contiguous(
-            hit, sg, s, bin_size=bin_size, n_sg=n_sg, nbins_tile=nbins_tile
+        bc = bin_counts_auto(
+            hit, sg, s, bin_size=bin_size, n_sg=n_sg, nbins_tile=nbins_tile,
+            aligned16=aligned16,
         )
         return bc, jnp.where(hit, idx_c.astype(jnp.int32), SENTINEL).reshape(-1)
 

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from subphaser_tpu.ops.kmer import SENTINEL, forward_codes
-from subphaser_tpu.ops.mapbins import bin_counts_contiguous, distinct_hits
+from subphaser_tpu.ops.mapbins import bin_counts_auto, distinct_hits
 
 SG_BITS = 4  # supports n_sg <= 16 and sig counts up to 2^26
 
@@ -44,11 +44,13 @@ def build_sig_table(sig_codes, sig_sg, k: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "n_pos_words", "bin_size", "n_sg", "nbins_tile"),
+    static_argnames=("k", "n_pos_words", "bin_size", "n_sg", "nbins_tile",
+                     "aligned16"),
 )
 def map_tiles_batch_dense(
     words, vwords, table, sig_sg, starts,
     *, k: int, n_pos_words: int, bin_size: int, n_sg: int, nbins_tile: int,
+    aligned16: bool = False,
 ):
     """Batch of tiles -> ((T, nbins, n_sg) counts, merged distinct-hit list).
 
@@ -66,8 +68,9 @@ def map_tiles_batch_dense(
         hit = (vals > 0) & (fcodes != SENTINEL)
         idx = jnp.maximum((vals >> SG_BITS) - 1, 0)
         sg = vals & ((1 << SG_BITS) - 1)
-        bc = bin_counts_contiguous(
-            hit, sg, start, bin_size=bin_size, n_sg=n_sg, nbins_tile=nbins_tile
+        bc = bin_counts_auto(
+            hit, sg, start, bin_size=bin_size, n_sg=n_sg,
+            nbins_tile=nbins_tile, aligned16=aligned16,
         )
         return bc, jnp.where(hit, idx, SENTINEL).reshape(-1)
 

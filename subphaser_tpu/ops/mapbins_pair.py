@@ -57,10 +57,11 @@ def map_tile_bins_pair(
         sg = jnp.where(ok & ~hit, sig_sg[idx], sg)
         midx = jnp.where(ok & ~hit, idx.astype(jnp.int32), midx)
         hit = hit | ok
-    from subphaser_tpu.ops.mapbins import bin_counts_contiguous, distinct_hits
+    from subphaser_tpu.ops.mapbins import bin_counts_auto, distinct_hits
 
-    bin_counts = bin_counts_contiguous(
-        hit, sg, start, bin_size=bin_size, n_sg=n_sg, nbins_tile=nbins_tile
+    bin_counts = bin_counts_auto(
+        hit, sg, start, bin_size=bin_size, n_sg=n_sg, nbins_tile=nbins_tile,
+        aligned16=bin_size % 16 == 0,
     )
     first_bin = jnp.asarray(start, jnp.int32) // bin_size
     return bin_counts, first_bin, distinct_hits(midx, m)

@@ -223,7 +223,7 @@ def pad_sig_pow2(codes, sgs):
 
 def start_map_warmup(
     codes, sgs, k: int, tile_bases: int, batch: int, n_sg: int,
-    nbins_tile: int, bin_size: int,
+    nbins_tile: int, bin_size: int, aligned16: bool = False,
 ):
     """Build the dense sig table and run one SALTED map batch in a thread.
 
@@ -260,15 +260,19 @@ def start_map_warmup(
             shape = (batch, n_words) if batch > 1 else (n_words,)
             w = jnp.asarray(rng.integers(0, 1 << 31, size=shape, dtype=np.int32))
             v = jnp.asarray(rng.integers(0, 1 << 31, size=shape, dtype=np.int32))
+            # 16-aligned salt start: the column-sum bin path (aligned16)
+            # assumes aligned tile starts, and production starts are
+            # multiples of the pow2 tile size anyway
+            s0 = (salt % bin_size) & ~15
             starts = (
-                jnp.zeros(batch, jnp.int32) + jnp.int32(salt % bin_size)
+                jnp.zeros(batch, jnp.int32) + jnp.int32(s0)
                 if batch > 1
-                else jnp.int32(salt % bin_size)
+                else jnp.int32(s0)
             )
             bcs, _hm = map_tiles_batch_dense(
                 w, v, table, jnp.asarray(sgs), starts,
                 k=k, n_pos_words=tile_bases // 16, bin_size=bin_size,
-                n_sg=n_sg, nbins_tile=nbins_tile,
+                n_sg=n_sg, nbins_tile=nbins_tile, aligned16=aligned16,
             )
             bcs.block_until_ready()
             holder["table"] = table

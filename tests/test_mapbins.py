@@ -152,3 +152,42 @@ def test_map_tiles_batch_dense_batched_matches_single():
     np.testing.assert_array_equal(bcs_b, np.asarray(bcs_s))
     hs = np.asarray(hm_s)
     np.testing.assert_array_equal(got_hits, hs[hs != SENTINEL])
+
+
+def test_colsum_bins_match_contiguous():
+    """The column-sum bin counter (aligned16 fast path) is byte-identical
+    to the contiguous formulation for 16-aligned starts and 16-divisible
+    bin sizes (the production configuration: bin 10000 = 625*16, pow2 tile
+    starts)."""
+    import jax.numpy as jnp
+
+    from subphaser_tpu.ops.mapbins import (
+        bin_counts_colsum,
+        bin_counts_contiguous,
+    )
+
+    rng = np.random.default_rng(9)
+    n_sg, bin_size = 3, 160
+    W = 64  # 1024 positions
+    nbt = (16 * W) // bin_size + 2
+    hit = jnp.asarray(rng.random((16, W)) < 0.3)
+    sg = jnp.asarray(rng.integers(0, n_sg, size=(16, W), dtype=np.int32))
+    for start in (0, 16, 320, 480 + 160):
+        a = bin_counts_contiguous(hit, sg, np.int32(start),
+                                  bin_size=bin_size, n_sg=n_sg, nbins_tile=nbt)
+        b = bin_counts_colsum(hit, sg, np.int32(start),
+                              bin_size=bin_size, n_sg=n_sg, nbins_tile=nbt)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=f"start={start}")
+
+
+def test_distinct_hits_dedup():
+    """distinct_hits returns sorted unique values, SENTINEL-padded."""
+    import jax.numpy as jnp
+
+    from subphaser_tpu.ops.mapbins import distinct_hits
+
+    vals = np.array([5, 3, 5, SENTINEL, 1, 3, 3, SENTINEL], dtype=np.int32)
+    out = np.asarray(distinct_hits(jnp.asarray(vals), cap=8))
+    assert out[:3].tolist() == [1, 3, 5]
+    assert (out[3:] == SENTINEL).all()

@@ -1,0 +1,347 @@
+"""Measure candidate mapping-kernel formulations on the real chip.
+
+Sections (select with argv):
+  gather   — 1-D gather throughput vs table size (2^14 .. 2^30 int32):
+             does a VMEM-resident table beat the 4 GB dense table per lookup?
+  parts    — kernel stage decomposition at production shapes:
+             codes / +gather / +colsum bins (new) / +contig bins (current)
+             / +distinct 1-sort (new) / +distinct 2-sort (current)
+  cuckoo   — 2-choice hash membership (two gathers from a 16 MB table +
+             compares) vs one gather from the dense 4 GB table
+
+All timings use salted inputs + position-weighted scalar checksums forced
+to host every iteration (axon tunnel rules; see bench.py).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+K = 15
+TILE_BASES = 1 << 23
+N_TILES = 4
+BIN_SIZE = 10_000
+N_SG = 3
+M = 1 << 21
+
+
+def _time(step, args, label, iters=4):
+    import jax.numpy as jnp
+
+    base = int.from_bytes(os.urandom(3), "little")
+    t0 = time.time()
+    out = int(step(*args, jnp.int32(base)))
+    print(f"{label}: compile+first {time.time()-t0:.1f}s", flush=True)
+    int(step(*args, jnp.int32(base + 1)))
+    t0 = time.time()
+    for i in range(iters):
+        out = int(step(*args, jnp.int32((out + i) & 0x7FFFFFFF)))
+    dt = (time.time() - t0) / iters
+    return dt, out
+
+
+def bench_gather_sizes():
+    import jax
+    import jax.numpy as jnp
+
+    from subphaser_tpu.utils.compcache import enable_compilation_cache
+
+    enable_compilation_cache()
+    n = 1 << 25  # lookups per step
+    rng = np.random.default_rng(0)
+    idx_base = rng.integers(0, 1 << 30, size=n, dtype=np.int64).astype(np.int32)
+    di = jax.device_put(idx_base)
+
+    for logsz in (14, 18, 22, 24, 26, 28, 30):
+        size = 1 << logsz
+        table = jax.device_put(
+            rng.integers(0, 2**31, size=size, dtype=np.int64).astype(np.int32)
+        )
+
+        @jax.jit
+        def step(tab, ii, salt, _mask=size - 1):
+            j = (ii ^ salt) & _mask
+            v = tab[j]
+            w = jax.lax.iota(jnp.uint32, v.size)
+            return jnp.sum(v.astype(jnp.uint32) * w)
+
+        dt, _ = _time(step, (table, di), f"gather 2^{logsz}")
+        print(
+            f"gather table 2^{logsz} ({size*4/2**20:.0f} MiB): "
+            f"{n/dt/1e6:.1f} M lookups/s ({dt*1e3:.0f} ms / {n>>20}M)",
+            flush=True,
+        )
+
+
+def _mk_inputs(wheat: bool = False):
+    """Uniform-random tiles + random sig set — or a wheat-like setting:
+    85%-repetitive sequence (repeat-family library) with the sig set drawn
+    from the GENOME's own forward codes so the hit rate matches production
+    (~30% of positions hit at wheat scale, PLAN.md)."""
+    import jax
+
+    from subphaser_tpu.io.genome import tile_words_for
+
+    rng = np.random.default_rng(0)
+    n_words = tile_words_for(TILE_BASES, K)
+    if wheat:
+        from subphaser_tpu.ltr.native import pack_body
+        from subphaser_tpu.ops.kmer import forward_codes as _fc
+
+        fams = ["".join(rng.choice(list("ACGT"), size=5000)) for _ in range(40)]
+        words = np.zeros((N_TILES, n_words), np.int32)
+        vwords = np.zeros((N_TILES, n_words), np.int32)
+        for t in range(N_TILES):
+            parts, total = [], 0
+            while total < TILE_BASES + 64:
+                if rng.random() < 0.85:
+                    f = fams[rng.integers(0, len(fams))]
+                    # mutated copy
+                    b = np.frombuffer(f.encode(), np.uint8).copy()
+                    npos = rng.integers(0, 250)
+                    b[rng.integers(0, b.size, size=npos)] = ord("A")
+                    parts.append(b.tobytes().decode())
+                else:
+                    parts.append("".join(rng.choice(list("ACGT"), size=5000)))
+                total += len(parts[-1])
+            raw = np.frombuffer("".join(parts).encode(), np.uint8)
+            p, v, _n = pack_body(raw)
+            words[t, : min(n_words, p.size)] = p[:n_words]
+            vwords[t, : min(n_words, v.size)] = v[:n_words]
+        # sig = sampled forward codes from the data itself (+ shared across
+        # tiles via families) so hits reach production rates
+        import jax.numpy as jnp
+
+        fc = np.asarray(
+            _fc(jnp.asarray(words[0]), jnp.asarray(vwords[0]), K,
+                TILE_BASES // 16)
+        ).reshape(-1)
+        fc = fc[fc != (np.int32(np.iinfo(np.int32).max))]
+        sig_codes = np.unique(rng.choice(fc, size=M * 2))[:M].astype(np.int32)
+        if sig_codes.size < M:
+            pad = rng.choice(1 << (2 * K), size=M - sig_codes.size,
+                             replace=False).astype(np.int32)
+            sig_codes = np.unique(np.concatenate([sig_codes, pad]))[:M]
+        hit_rate = np.isin(fc, sig_codes).mean()
+        print(f"wheat-mode: hit rate {hit_rate:.1%} of positions", flush=True)
+    else:
+        words = rng.integers(
+            0, 2**32, size=(N_TILES, n_words), dtype=np.uint32
+        ).astype(np.int32)
+        vwords = np.full((N_TILES, n_words), np.uint32(0xFFFF)).astype(np.int32)
+        sig_codes = np.sort(
+            rng.choice(1 << (2 * K), size=M, replace=False).astype(np.int32)
+        )
+    starts = (rng.integers(0, 1 << 22, size=N_TILES, dtype=np.int32) * 16).astype(
+        np.int32
+    )
+    sig_sg = rng.integers(0, N_SG, size=sig_codes.size, dtype=np.int32)
+    t_np = np.zeros(1 << (2 * K), np.int32)
+    t_np[sig_codes] = ((np.arange(sig_codes.size, dtype=np.int32) + 1) << 4) | sig_sg
+    return (
+        jax.device_put(words),
+        jax.device_put(vwords),
+        jax.device_put(starts),
+        jax.device_put(t_np),
+        sig_codes,
+        sig_sg,
+    )
+
+
+def bench_parts(wheat: bool = False):
+    import jax
+    import jax.numpy as jnp
+
+    from subphaser_tpu.ops.kmer import SENTINEL, forward_codes
+    from subphaser_tpu.ops.mapbins import bin_counts_contiguous, nbins_for_tile
+    from subphaser_tpu.utils.compcache import enable_compilation_cache
+
+    enable_compilation_cache()
+    n_pos_words = TILE_BASES // 16
+    nbt = nbins_for_tile(TILE_BASES, BIN_SIZE)
+    mask_code = (1 << (2 * K)) - 1
+    ws, vs, st, table, _sc, _sg = _mk_inputs(wheat=wheat)
+
+    def colsum_bins(hit, sg, start):
+        cpb = BIN_SIZE // 16
+        ids = jnp.arange(N_SG, dtype=sg.dtype)[:, None, None]
+        onehot = (hit[None] & (sg[None] == ids)).astype(jnp.int32)
+        colsum = onehot.sum(axis=1)  # (n_sg, W)
+        q = (jnp.asarray(start, jnp.int32) % BIN_SIZE) // 16
+        arr = jnp.zeros((N_SG, nbt * cpb), jnp.int32)
+        arr = jax.lax.dynamic_update_slice(arr, colsum, (jnp.int32(0), q))
+        return arr.reshape(N_SG, nbt, cpb).sum(axis=2).T
+
+    def core(w, v, s, salt, table, *, bins, distinct):
+        fcodes = forward_codes(w ^ salt, v, K, n_pos_words)
+        vals = table[fcodes.reshape(-1) & mask_code].reshape(fcodes.shape)
+        hit = (vals > 0) & (fcodes != SENTINEL)
+        idx = jnp.maximum((vals >> 4) - 1, 0)
+        sg = vals & 15
+        out = jnp.sum(jnp.where(hit, idx, 0).astype(jnp.uint32))
+        if bins == "colsum":
+            bc = colsum_bins(hit, sg, s)
+        elif bins == "contig":
+            bc = bin_counts_contiguous(
+                hit, sg, s, bin_size=BIN_SIZE, n_sg=N_SG, nbins_tile=nbt
+            )
+        else:
+            bc = None
+        if bc is not None:
+            out = out + jnp.sum(
+                bc.astype(jnp.uint32)
+                * jax.lax.iota(jnp.uint32, bc.size).reshape(bc.shape)
+            )
+        hidx = jnp.where(hit, idx, SENTINEL).reshape(-1)
+        return out, hidx
+
+    def make(bins, distinct):
+        # table rides as a jit ARGUMENT: a closed-over device array lowers
+        # as a 4.3 GB captured constant (one-shot program upload the axon
+        # tunnel rejects; same trap as bench.py's iota note)
+        @jax.jit
+        def step(ws, vs, st, salt, table):
+            def one(args):
+                w, v, s = args
+                return core(w, v, s, salt, table, bins=bins, distinct=distinct)
+
+            outs, hidxs = jax.lax.map(one, (ws, vs, st))
+            out = jnp.sum(outs)
+            if distinct == "none":
+                return out
+            s = jnp.sort(hidxs.reshape(-1))
+            run_start = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
+            keep = run_start & (s != SENTINEL)
+            if distinct == "1sort":
+                u = jnp.sort(jnp.where(keep, s, SENTINEL))[: M]
+            else:  # 2sort: KV compact (current _compact_survivors shape)
+                keys = jnp.where(keep, s, SENTINEL)
+                vals = keep.astype(jnp.int32)
+                sk, sv = jax.lax.sort((keys, vals), num_keys=1)
+                u = sk[:M]
+            w = jax.lax.iota(jnp.uint32, M)
+            return out + jnp.sum(u.astype(jnp.uint32) * w)
+
+        return step
+
+    mbp = N_TILES * TILE_BASES / 1e6
+    variants = [
+        ("gather only", make(None, "none")),
+        ("gather+colsum", make("colsum", "none")),
+        ("gather+contig", make("contig", "none")),
+        ("g+colsum+d1sort", make("colsum", "1sort")),
+        ("g+colsum+d2sort", make("colsum", "2sort")),
+        ("g+contig+d2sort(prod)", make("contig", "2sort")),
+    ]
+    for name, fn in variants:
+        dt, out = _time(lambda *a, _f=fn: _f(a[0], a[1], a[2], a[3], table),
+                        (ws, vs, st), name)
+        print(f"{name}: {mbp/dt:.1f} Mbp/s ({dt*1e3:.0f} ms/batch) chk={out}",
+              flush=True)
+
+
+def bench_cuckoo():
+    import jax
+    import jax.numpy as jnp
+
+    from subphaser_tpu.ops.kmer import SENTINEL, forward_codes
+    from subphaser_tpu.utils.compcache import enable_compilation_cache
+
+    enable_compilation_cache()
+    n_pos_words = TILE_BASES // 16
+    mask_code = (1 << (2 * K)) - 1
+    ws, vs, st, table, sig_codes, sig_sg = _mk_inputs()
+
+    # 2-choice hash table, size 2^23 slots (=2 M entries at 25% load x2 arrays)
+    HB = 23
+    HSZ = 1 << HB
+
+    def h1(c):
+        return ((c * np.uint32(0x9E3779B1)) >> np.uint32(32 - HB)) & (HSZ - 1)
+
+    def h2(c):
+        return ((c * np.uint32(0x85EBCA77)) >> np.uint32(32 - HB)) & (HSZ - 1)
+
+    hc = np.full(HSZ, -1, np.int32)  # stored code (-1 empty)
+    hv = np.zeros(HSZ, np.int32)
+    vals = ((np.arange(M, dtype=np.int32) + 1) << 4) | sig_sg
+    c_u = sig_codes.astype(np.uint32)
+    placed = np.zeros(M, bool)
+    for hf in (h1, h2):
+        slots = hf(c_u).astype(np.int64)
+        free = ~placed
+        # first-come wins per slot
+        order = np.flatnonzero(free)
+        s_sub = slots[order]
+        first = np.unique(s_sub, return_index=True)[1]
+        pick = order[first]
+        ok = hc[slots[pick]] == -1
+        pick = pick[ok]
+        hc[slots[pick]] = sig_codes[pick]
+        hv[slots[pick]] = vals[pick]
+        placed[pick] = True
+    rest = int((~placed).sum())
+    print(f"cuckoo build: {M - rest}/{M} placed in 2 probes ({rest} overflow)",
+          flush=True)
+    dhc = jax.device_put(hc)
+    dhv = jax.device_put(hv)
+
+    @jax.jit
+    def step_hash(ws, vs, st, salt):
+        def one(args):
+            w, v, s = args
+            fcodes = forward_codes(w ^ salt, v, K, n_pos_words)
+            c = fcodes.reshape(-1) & mask_code
+            cu = c.astype(jnp.uint32)
+            j1 = ((cu * jnp.uint32(0x9E3779B1)) >> jnp.uint32(32 - HB)).astype(
+                jnp.int32
+            ) & (HSZ - 1)
+            j2 = ((cu * jnp.uint32(0x85EBCA77)) >> jnp.uint32(32 - HB)).astype(
+                jnp.int32
+            ) & (HSZ - 1)
+            m1 = dhc[j1] == c
+            m2 = dhc[j2] == c
+            v1 = dhv[j1]
+            v2 = dhv[j2]
+            val = jnp.where(m1, v1, jnp.where(m2, v2, 0))
+            ok = fcodes.reshape(-1) != SENTINEL
+            return jnp.sum(jnp.where(ok, val, 0).astype(jnp.uint32))
+
+        return jnp.sum(jax.lax.map(one, (ws, vs, st)))
+
+    @jax.jit
+    def step_dense(ws, vs, st, salt, table):
+        # table as ARG (a closure would bake a 4.3 GB constant; see make())
+        def one(args):
+            w, v, s = args
+            fcodes = forward_codes(w ^ salt, v, K, n_pos_words)
+            c = fcodes.reshape(-1) & mask_code
+            val = table[c]
+            ok = fcodes.reshape(-1) != SENTINEL
+            return jnp.sum(jnp.where(ok, val, 0).astype(jnp.uint32))
+
+        return jnp.sum(jax.lax.map(one, (ws, vs, st)))
+
+    mbp = N_TILES * TILE_BASES / 1e6
+    dense = lambda ws, vs, st, salt: step_dense(ws, vs, st, salt, table)  # noqa: E731
+    for name, fn in (("dense 4GB 1-gather", dense),
+                     ("hash 32MB 4-gather", step_hash)):
+        dt, out = _time(fn, (ws, vs, st), name)
+        print(f"{name}: {mbp/dt:.1f} Mbp/s ({dt*1e3:.0f} ms/batch) chk={out}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "parts"
+    if which == "gather":
+        bench_gather_sizes()
+    elif which == "cuckoo":
+        bench_cuckoo()
+    else:
+        bench_parts(wheat="wheat" in sys.argv)
