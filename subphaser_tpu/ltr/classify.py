@@ -40,11 +40,29 @@ AMINO = "ACDEFGHIKLMNPQRSTVWY"
 _AA_IDX = {a: i for i, a in enumerate(AMINO)}
 
 
+# vectorized translation tables: base byte -> 0..3 (255 = ambiguous),
+# codon code -> amino byte
+_BASE_LUT = np.full(256, 255, np.uint8)
+for _j, _b in enumerate("TCAG"):
+    _BASE_LUT[ord(_b)] = _j
+    _BASE_LUT[ord(_b.lower())] = _j
+_BASE_LUT[ord("U")] = _BASE_LUT[ord("u")] = 0
+_AA_LUT = np.frombuffer(_AA.encode(), np.uint8)
+
+
 def translate(seq: str) -> str:
-    seq = seq.upper().replace("U", "T")
-    return "".join(
-        _CODONS.get(seq[i : i + 3], "X") for i in range(0, len(seq) - 2, 3)
-    )
+    """Frame-0 translation ('X' for codons with ambiguous bases).
+
+    Vectorized: per-base LUT + codon-code gather (the per-codon dict
+    formulation cost hours at wheat scale — 1M+ elements x 6 frames)."""
+    n = (len(seq)) // 3
+    if n == 0:
+        return ""
+    b = _BASE_LUT[np.frombuffer(seq.encode(), np.uint8)[: n * 3]].reshape(n, 3)
+    code = b[:, 0].astype(np.int32) * 16 + b[:, 1] * 4 + b[:, 2]
+    ok = (b < 4).all(axis=1)
+    out = np.where(ok, _AA_LUT[np.where(ok, code, 0)], np.uint8(ord("X")))
+    return out.tobytes().decode()
 
 
 def six_frames(seq: str) -> list[tuple[str, int, str]]:
@@ -248,6 +266,20 @@ def _viterbi_scan_batch():
 
 
 _viterbi_batch_fn = None
+_viterbi_vmap_fn = None
+
+
+def _viterbi_scan_vmap():
+    """The residue-scan Viterbi vmapped over a SEQUENCE batch axis: one
+    dispatch scores (B, L) sequences against all stacked profiles — the
+    per-(element, frame) dispatch path costs one tunnel round trip per
+    call, which dominates at wheat scale (1M+ elements)."""
+    import jax
+
+    base = _viterbi_scan_batch()
+    return jax.jit(jax.vmap(
+        base, in_axes=(0, 0, None, None, None, None, None, None, None, None)
+    ))
 
 
 class ProfileStack:
@@ -304,6 +336,22 @@ class ProfileStack:
         out, pos = _viterbi_batch_fn(
             idx, np.int32(n), self.ms, self.tmm, self.tmi, self.tim,
             self.tii, self.tdm, self.tmd_shift, self.s_shift,
+        )
+        return np.asarray(out), np.asarray(pos)
+
+    def scores_pos_many(
+        self, idx_batch: np.ndarray, n_valid: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched scores: (B, L) int32 padded residue batch + per-row
+        valid counts -> ((B, P) scores, (B, P) end positions). One device
+        dispatch for the whole batch (same kernel as scores_pos, vmapped).
+        """
+        global _viterbi_vmap_fn
+        if _viterbi_vmap_fn is None:
+            _viterbi_vmap_fn = _viterbi_scan_vmap()
+        out, pos = _viterbi_vmap_fn(
+            idx_batch, n_valid.astype(np.int32), self.ms, self.tmm, self.tmi,
+            self.tim, self.tii, self.tdm, self.tmd_shift, self.s_shift,
         )
         return np.asarray(out), np.asarray(pos)
 
@@ -423,15 +471,50 @@ def classify_elements(
             "Classifier null calibration: threshold %.1f nats @1kaa, "
             "%.1f @4kaa", thresh_fn(1000), thresh_fn(4000),
         )
+    # residue -> index LUT (the per-char dict loop cost minutes at 1M+
+    # elements; ambiguous residues map to -1 and are filtered out)
+    aa_lut = np.full(256, -1, np.int16)
+    for a, i in _AA_IDX.items():
+        aa_lut[ord(a)] = i
+
     out: dict[str, Classification] = {}
-    for eid, seq in elements:
-        frames = six_frames(seq)
-        hits = []  # (score, strand, order, superfamily, clade, domain, pep)
-        for prot, _f, strand in frames:
-            raw = np.array([_AA_IDX.get(a, -1) for a in prot], dtype=np.int64)
-            pos_map = np.flatnonzero(raw >= 0)
-            idx = raw[pos_map].astype(np.int32)
-            scores, ends = stack.scores_pos(idx)
+    # chunk elements (bounds host memory for the translated frames), then
+    # score all (element, frame) jobs of a chunk in fixed-size device
+    # batches bucketed by padded length — one dispatch per batch instead
+    # of one per frame (tunnel round trips dominate at wheat scale)
+    CHUNK = 512
+    BATCH = 256
+    for clo in range(0, len(elements), CHUNK):
+        chunk = elements[clo : clo + CHUNK]
+        jobs = []  # (local ei, strand, prot, pos_map, idx)
+        for ei, (eid, seq) in enumerate(chunk):
+            for prot, _f, strand in six_frames(seq):
+                raw = aa_lut[np.frombuffer(prot.encode(), np.uint8)]
+                pos_map = np.flatnonzero(raw >= 0)
+                jobs.append((ei, strand, prot, pos_map,
+                             raw[pos_map].astype(np.int32)))
+        buckets: dict[int, list[int]] = {}
+        for j, job in enumerate(jobs):
+            l = max(1 << max(job[4].size - 1, 1).bit_length(), 64)
+            buckets.setdefault(l, []).append(j)
+        j_scores: list = [None] * len(jobs)
+        j_ends: list = [None] * len(jobs)
+        for l, idxs in sorted(buckets.items()):
+            for blo in range(0, len(idxs), BATCH):
+                sel = idxs[blo : blo + BATCH]
+                arr = np.zeros((BATCH, l), np.int32)
+                nv = np.zeros(BATCH, np.int32)
+                for r, j in enumerate(sel):
+                    v = jobs[j][4]
+                    arr[r, : v.size] = v
+                    nv[r] = v.size
+                s, e = stack.scores_pos_many(arr, nv)
+                for r, j in enumerate(sel):
+                    j_scores[j] = s[r]
+                    j_ends[j] = e[r]
+        per_el_hits: list[list] = [[] for _ in chunk]
+        for j, (ei, strand, prot, pos_map, idx) in enumerate(jobs):
+            scores, ends = j_scores[j], j_ends[j]
             if min_score is not None:
                 floor = min_score
             else:
@@ -447,29 +530,37 @@ def classify_elements(
                     e = min(int(ends[pi]), idx.size - 1)
                     lo = max(0, e - int(1.2 * profiles[pi].length))
                     pep = prot[int(pos_map[lo]) : int(pos_map[e]) + 1]
-                hits.append((float(scores[pi]), strand, o, sf, cl, dom, pep))
-        if not hits:
-            out[eid] = Classification(id=eid)
-            continue
-        hits.sort(reverse=True, key=lambda h: h[0])
-        best = hits[0]
-        doms = {h[5] for h in hits if h[5]}
-        # clade majority vote among hits agreeing with the best superfamily
-        clades = [h[4] for h in hits if h[3] == best[3] and h[4]]
-        clade = max(set(clades), key=clades.count) if clades else best[4]
-        completed = "yes" if all(d in doms for d in DOMAIN_ORDER) else "no"
-        # best peptide per domain among hits of the winning superfamily
-        domain_seqs: dict = {}
-        for h in hits:
-            if h[3] == best[3] and h[5] and h[6] and h[5] not in domain_seqs:
-                domain_seqs[h[5]] = h[6]
-        out[eid] = Classification(
-            id=eid, order=best[2], superfamily=best[3], clade=clade,
-            completed=completed, strand=best[1],
-            domains=" ".join(sorted(doms)), score=best[0],
-            domain_seqs=domain_seqs or None,
-        )
+                per_el_hits[ei].append(
+                    (float(scores[pi]), strand, o, sf, cl, dom, pep)
+                )
+        for ei, (eid, _seq) in enumerate(chunk):
+            _decide(out, eid, per_el_hits[ei])
     return out
+
+
+def _decide(out: dict, eid: str, hits: list) -> None:
+    """Per-element decision from its scored frame hits (unchanged logic)."""
+    if not hits:
+        out[eid] = Classification(id=eid)
+        return
+    hits.sort(reverse=True, key=lambda h: h[0])
+    best = hits[0]
+    doms = {h[5] for h in hits if h[5]}
+    # clade majority vote among hits agreeing with the best superfamily
+    clades = [h[4] for h in hits if h[3] == best[3] and h[4]]
+    clade = max(set(clades), key=clades.count) if clades else best[4]
+    completed = "yes" if all(d in doms for d in DOMAIN_ORDER) else "no"
+    # best peptide per domain among hits of the winning superfamily
+    domain_seqs: dict = {}
+    for h in hits:
+        if h[3] == best[3] and h[5] and h[6] and h[5] not in domain_seqs:
+            domain_seqs[h[5]] = h[6]
+    out[eid] = Classification(
+        id=eid, order=best[2], superfamily=best[3], clade=clade,
+        completed=completed, strand=best[1],
+        domains=" ".join(sorted(doms)), score=best[0],
+        domain_seqs=domain_seqs or None,
+    )
 
 
 def _window_coverage(

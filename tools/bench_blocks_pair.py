@@ -80,14 +80,12 @@ def main():
     fa = os.path.join(tmp, "pair.fa")
     if not os.path.exists(fa + f".{n}.ok"):
         to_fasta(fa, "chrA", sa)
-        with open(fa) as f1, open(fa + ".b", "w") as f2:
-            f2.write(f1.read())
         to_fasta(fa + ".b", "chrB", sb)
         with open(fa + ".b") as f2, open(fa, "a") as f1:
             f1.write(f2.read())
         open(fa + f".{n}.ok", "w").write("1")
     t0 = time.time()
-    genome = PackedGenome.from_fasta_files([fa])
+    genome, _renames = PackedGenome.from_fasta_files([fa])
     print(f"pack: {time.time()-t0:.1f}s", flush=True)
 
     k, mod = 15, 16

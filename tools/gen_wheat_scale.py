@@ -12,6 +12,7 @@ Usage: python gen_wheat14.py OUT [n_sets] [chrom_mb] [--one]
   --one generates a single chromosome (dry-run sizing).
 """
 
+import os
 import sys
 import time
 
@@ -47,8 +48,62 @@ def wrap60(ascii_arr, f):
         f.write(tail.tobytes() + b"\n")
 
 
-def make_library(rng, n_fam, fam_len):
-    return rng.integers(0, 4, n_fam * fam_len, dtype=np.uint8).reshape(n_fam, fam_len)
+_B = {"A": 0, "C": 1, "G": 2, "T": 3}
+_CODON = {
+    "A": "GCT", "C": "TGT", "D": "GAT", "E": "GAA", "F": "TTT", "G": "GGT",
+    "H": "CAT", "I": "ATT", "K": "AAA", "L": "CTT", "M": "ATG", "N": "AAT",
+    "P": "CCT", "Q": "CAA", "R": "CGT", "S": "TCT", "T": "ACT", "V": "GTT",
+    "W": "TGG", "Y": "TAT",
+}
+_AA = "ACDEFGHIKLMNPQRSTVWY"
+
+
+def _dna(s: str) -> np.ndarray:
+    return np.array([_B[c] for c in s], dtype=np.uint8)
+
+
+def make_domain_peptides(seed: int = 4242):
+    """Fixed-seed RT/INT/RH ancestor peptides shared by the genome's LTR
+    families AND the fixture HMM database (--hmm), so the native
+    classifier has real targets at wheat scale."""
+    rng = np.random.default_rng(seed)
+    return {
+        dom: "".join(rng.choice(list(_AA), size=n))
+        for dom, n in (("RT", 220), ("INT", 160), ("RH", 130))
+    }
+
+
+def make_library(rng, n_fam, fam_len, ltr_frac=0.0, peps=None):
+    """Repeat families; a fraction are STRUCTURED LTR retrotransposons:
+    4 bp TSD + 800 bp LTR (TG..CA) + internal region carrying
+    reverse-translated RT/INT/RH domains + identical LTR + TSD — real
+    work for the detectors (TG..CA/TSD) and the domain classifier."""
+    lib = rng.integers(0, 4, n_fam * fam_len, dtype=np.uint8).reshape(n_fam, fam_len)
+    if ltr_frac <= 0:
+        return lib
+    n_ltr = int(n_fam * ltr_frac)
+    dom_dna = (
+        np.concatenate([_dna("".join(_CODON[a] for a in peps[d]))
+                        for d in ("INT", "RT", "RH")])
+        if peps else np.zeros(0, np.uint8)
+    )
+    for fi in range(n_ltr):
+        tsd = rng.integers(0, 4, 4, dtype=np.uint8)
+        L = 800
+        ltr = rng.integers(0, 4, L, dtype=np.uint8)
+        ltr[0], ltr[1] = _B["T"], _B["G"]
+        ltr[-2], ltr[-1] = _B["C"], _B["A"]
+        inner_len = fam_len - 2 * L - 8
+        inner = rng.integers(0, 4, inner_len, dtype=np.uint8)
+        if dom_dna.size and dom_dna.size + 20 < inner_len:
+            # per-family mutated domain cassette at a fixed offset
+            cas = dom_dna.copy()
+            nm = int(cas.size * 0.05)
+            p = rng.integers(0, cas.size, nm)
+            cas[p] = (cas[p] + rng.integers(1, 4, nm, dtype=np.uint8)) % 4
+            inner[10 : 10 + cas.size] = cas
+        lib[fi] = np.concatenate([tsd, ltr, inner, ltr, tsd])
+    return lib
 
 
 def make_chrom(rng, shared_lib, sg_lib):
@@ -80,8 +135,36 @@ def main():
     lib_rng = np.random.default_rng(1234)
     rng = np.random.default_rng(9000 + SET_LO)
     t0 = time.time()
-    shared_lib = make_library(lib_rng, 120, SEG)        # 600 kb shared library
-    sg_libs = {sg: make_library(lib_rng, 60, SEG) for sg in SGS}  # 300 kb each
+    peps = make_domain_peptides()
+    # ~1/3 of families are structured LTR elements (TSD + TG..CA LTR pair +
+    # RT/INT/RH domain cassette) so the default pipeline's LTR/classify/
+    # tree steps have genuine targets at wheat scale
+    shared_lib = make_library(lib_rng, 120, SEG, ltr_frac=0.33, peps=peps)
+    sg_libs = {
+        sg: make_library(lib_rng, 60, SEG, ltr_frac=0.33, peps=peps)
+        for sg in SGS
+    }
+    if "--hmm" in sys.argv:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "tests"))
+        from hmm_fixture import profile_from_family, simulate_family, write_hmmer3
+
+        h_rng = np.random.default_rng(77)
+        aa_idx = {a: i for i, a in enumerate(_AA)}
+        specs = []
+        for dom, pep in peps.items():
+            anc = np.array([aa_idx[a] for a in pep], dtype=np.int64)
+            members = np.tile(anc, (40, 1))
+            for i in range(40):
+                nm = h_rng.binomial(anc.size, 0.15)
+                p = h_rng.choice(anc.size, size=nm, replace=False)
+                members[i, p] = h_rng.integers(0, 20, size=nm)
+            specs.append({
+                "name": f"Class_I/LTR/Ty1_copia/Angela/{dom}",
+                "match_probs": profile_from_family(members),
+            })
+        write_hmmer3(f"{OUT}/wheat_rexdb.hmm", specs)
+        print(f"wrote {OUT}/wheat_rexdb.hmm", flush=True)
     fa = (f"{OUT}/genome14_{SET_LO}_{SET_HI}.fa" if not ONE
           else f"{OUT}/chrom1.fa")
     with open(fa, "wb") as f:
