@@ -18,31 +18,39 @@ import numpy as np
 from subphaser_tpu.blocks.paf import PafRecord
 from subphaser_tpu.io.genome import PackedGenome
 from subphaser_tpu.ltr.native import chain_anchors
-from subphaser_tpu.ops.anchors import chrom_anchors, match_anchors
 from subphaser_tpu.utils.log import logger
 
 
 def _decode_chrom(c) -> np.ndarray:
-    from subphaser_tpu.io.encoding import unpack_words
+    from subphaser_tpu.ltr.native import unpack_codes
 
-    codes, valid = unpack_words(c.packed, c.vmask, c.length)
-    return np.where(valid.astype(bool), codes, np.uint8(4)).astype(np.uint8)
+    return unpack_codes(c.packed, c.vmask, c.length)
 
 
 def align_pair(
     genome: PackedGenome, qname: str, tname: str, k: int = 15, mod: int = 16,
     max_gap: int = 100_000, min_block: int = 20_000, min_anchors: int = 10,
     emit_cs: bool = True, decode_cache: dict | None = None,
+    anchor_cache: dict | None = None,
 ) -> list[PafRecord]:
-    """``decode_cache`` (optional, managed by run_align) memoizes decoded
-    chromosome codes across the pairs a chromosome participates in; the
+    """``decode_cache``/``anchor_cache`` (optional, managed by run_align)
+    memoize decoded chromosome codes and device-resident anchor sets
+    across the pairs a chromosome participates in; the
     reverse-complemented target is built lazily, only when a minus-strand
     chain exists."""
+    from subphaser_tpu.ops.anchors import chrom_anchors_dev, match_anchors_dev
+
     q = genome.chrom(qname)
     t = genome.chrom(tname)
-    qc, qp, qs = chrom_anchors(q, k=k, mod=mod)
-    tc, tp, ts = chrom_anchors(t, k=k, mod=mod)
-    qpos, tpos, rel = match_anchors(qc, qp, qs, tc, tp, ts)
+    # anchors stay on device; the join runs on device and only matched
+    # pairs cross the link (the per-tile anchor downloads dominated the
+    # pre-round-3 profile: ~7 s of a 31 s pair through the remote tunnel)
+    acache = anchor_cache if anchor_cache is not None else {}
+    if qname not in acache:
+        acache[qname] = chrom_anchors_dev(q, k=k, mod=mod)
+    if tname not in acache:
+        acache[tname] = chrom_anchors_dev(t, k=k, mod=mod)
+    qpos, tpos, rel = match_anchors_dev(acache[qname], acache[tname])
     q_codes = t_codes = trc = None
     if emit_cs:
         cache = decode_cache if decode_cache is not None else {}
@@ -153,9 +161,11 @@ def run_align(
     have = set(genome.names)
     pafs = []
     for sg in alt_sgs:
-        # decoded chromosomes are reused across this homoeologous set's
-        # pairs and dropped afterwards (bounds host memory to one set)
+        # decoded chromosomes / device anchor sets are reused across this
+        # homoeologous set's pairs and dropped afterwards (bounds host and
+        # device memory to one set)
         decode_cache: dict = {}
+        anchor_cache: dict = {}
         for col1, col2 in combinations(sg, 2):
             for chr1, chr2 in product(col1, col2):
                 if chr1 not in have or chr2 not in have:
@@ -168,6 +178,7 @@ def run_align(
                     genome, chr1, chr2, k=k, mod=mod,
                     min_block=max(min_block // 5, 10_000),
                     decode_cache=decode_cache,
+                    anchor_cache=anchor_cache,
                 )
                 with open(out, "w") as f:
                     for r in recs:

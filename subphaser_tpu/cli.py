@@ -5,6 +5,7 @@
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from subphaser_tpu.utils.log import logger, setup_logging
@@ -182,6 +183,16 @@ def make_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    # honor JAX_PLATFORMS even when a site hook registered/pinned another
+    # backend after env evaluation (the axon sitecustomize re-registers the
+    # remote TPU; jax.config.update at runtime is the authoritative switch
+    # — without this, CLI runs with JAX_PLATFORMS=cpu still initialize the
+    # remote backend)
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     setup_logging()
     args = make_parser().parse_args(argv)
     if args.prefix is not None:

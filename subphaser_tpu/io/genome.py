@@ -89,12 +89,10 @@ class PackedChromosome:
 
     def to_seq(self) -> str:
         """Reconstruct the sequence (ambiguous bases come back as 'N')."""
-        from subphaser_tpu.io.encoding import unpack_words
+        from subphaser_tpu.ltr.native import unpack_codes
 
-        codes, valid = unpack_words(self.packed, self.vmask, self.length)
-        chars = np.frombuffer(b"ACGT", dtype=np.uint8)[codes]
-        chars = np.where(valid.astype(bool), chars, np.uint8(ord("N")))
-        return chars.tobytes().decode()
+        codes = unpack_codes(self.packed, self.vmask, self.length)
+        return np.frombuffer(b"ACGTN", dtype=np.uint8)[codes].tobytes().decode()
 
 
 @dataclass

@@ -588,8 +588,14 @@ int sp_nj_tree(const double* dist, int32_t n, const char* names_blob,
 // (cs '+', insertion), 2 = target-only (cs '-', deletion).
 // Returns the number of pairs, or -1 when max_ops is too small.
 // ---------------------------------------------------------------------------
-int sp_banded_align_ops(const uint8_t* a, int la, const uint8_t* b, int lb,
-                        int band, int32_t* ops_out, int max_ops) {
+struct AlignScratch {
+  std::vector<int> M, I, D, nM, nI, nD;
+  std::vector<uint8_t> trace;
+};
+
+static int banded_align_ops_core(const uint8_t* a, int la, const uint8_t* b,
+                                 int lb, int band, int32_t* ops_out,
+                                 int max_ops, AlignScratch& sc) {
   if (la < 0 || lb < 0) return -1;
   int n = 0;
   if (la == 0 || lb == 0) {
@@ -601,12 +607,16 @@ int sp_banded_align_ops(const uint8_t* a, int la, const uint8_t* b, int lb,
   const int W = 2 * band + 1;
   const int NEG = -1000000000;
   const int MATCH = 2, MIS = -4, GO = -4, GE = -2;
-  std::vector<int> M(W, NEG), I(W, NEG), D(W, NEG);
-  std::vector<int> nM(W), nI(W), nD(W);
+  // scratch reused across gaps (one allocation per thread, not per gap)
+  sc.M.assign(W, NEG); sc.I.assign(W, NEG); sc.D.assign(W, NEG);
+  sc.nM.resize(W); sc.nI.resize(W); sc.nD.resize(W);
+  sc.trace.assign((size_t)(la + 1) * W, 0);
+  std::vector<int>&M = sc.M, &I = sc.I, &D = sc.D;
+  std::vector<int>&nM = sc.nM, &nI = sc.nI, &nD = sc.nD;
+  std::vector<uint8_t>& trace = sc.trace;
   // trace bits per cell: [1:0] best-of-three at (i,j) in {0=M,1=I,2=D}
   //                      [2] M came from I, [3] M came from D
   //                      [4] I extends, [5] D extends
-  std::vector<uint8_t> trace((size_t)(la + 1) * W, 0);
   // j = i + (w - band); row 0
   M[band] = 0;
   for (int w = band + 1; w < W; ++w) {
@@ -620,43 +630,46 @@ int sp_banded_align_ops(const uint8_t* a, int la, const uint8_t* b, int lb,
     std::fill(nI.begin(), nI.end(), NEG);
     std::fill(nD.begin(), nD.end(), NEG);
     uint8_t* tr = &trace[(size_t)i * W];
-    for (int w = 0; w < W; ++w) {
-      int j = i + (w - band);
-      if (j < 0 || j > lb) continue;
+    // valid j range for this row: 0 <= j <= lb  ->  band-i <= w <= lb-i+band
+    int wlo = std::max(0, band - i);
+    int whi = std::min(W - 1, lb - i + band);
+    if (whi < wlo) { M.swap(nM); I.swap(nI); D.swap(nD); continue; }
+    if (i <= band && wlo == band - i) {  // j == 0 boundary cell
+      nI[wlo] = GO + GE * (i - 1);
+      tr[wlo] = (uint8_t)(1 | (i > 1 ? 16 : 0));
+      ++wlo;
+    }
+    const uint8_t ai = a[i - 1];
+    const bool a_ok = ai < 4;
+    const uint8_t* bj = b + (i - band) - 1;  // b[j-1] at offset w
+    // NEG drift is bounded (<= ~6 per row * 65536 rows << INT_MIN-NEG), so
+    // the per-cell reachability guards of the original formulation are
+    // unnecessary: unreachable cells just carry very-negative scores
+    for (int w = wlo; w <= whi; ++w) {
       uint8_t bits = 0;
-      if (j == 0) {
-        nI[w] = GO + GE * (i - 1);
-        bits = (uint8_t)(1 | (i > 1 ? 16 : 0));
-        tr[w] = bits;
-        continue;
-      }
-      // M(i,j) from best(i-1,j-1) + sub
-      int prev_best = std::max(M[w], std::max(I[w], D[w]));
-      if (prev_best > NEG / 2) {
-        bool m = a[i - 1] == b[j - 1] && a[i - 1] < 4;
-        nM[w] = prev_best + (m ? MATCH : MIS);
-        if (I[w] == prev_best && I[w] >= M[w]) bits |= 4;
-        else if (D[w] == prev_best && D[w] > M[w]) bits |= 8;
-      }
+      const int Mw = M[w], Iw = I[w], Dw = D[w];
+      int prev_best = Mw > Iw ? Mw : Iw;
+      if (Dw > prev_best) prev_best = Dw;
+      const bool m = a_ok && ai == bj[w];
+      nM[w] = prev_best + (m ? MATCH : MIS);
+      if (Iw == prev_best && Iw >= Mw) bits |= 4;
+      else if (Dw == prev_best && Dw > Mw) bits |= 8;
       // I(i,j): consume query; from (i-1, j) -> w+1 in prev row
       if (w + 1 < W) {
-        int open_ = (M[w + 1] > NEG / 2) ? M[w + 1] + GO : NEG;
-        int ext = (I[w + 1] > NEG / 2) ? I[w + 1] + GE : NEG;
-        if (std::max(open_, ext) > NEG / 2) {
-          if (ext > open_) { nI[w] = ext; bits |= 16; }
-          else nI[w] = open_;
-        }
+        int open_ = M[w + 1] + GO;
+        int ext = I[w + 1] + GE;
+        if (ext > open_) { nI[w] = ext; bits |= 16; }
+        else nI[w] = open_;
       }
       // D(i,j): consume target; from (i, j-1) -> w-1 in current row
       if (w - 1 >= 0) {
-        int open_ = (nM[w - 1] > NEG / 2) ? nM[w - 1] + GO : NEG;
-        int ext = (nD[w - 1] > NEG / 2) ? nD[w - 1] + GE : NEG;
-        if (std::max(open_, ext) > NEG / 2) {
-          if (ext > open_) { nD[w] = ext; bits |= 32; }
-          else nD[w] = open_;
-        }
+        int open_ = nM[w - 1] + GO;
+        int ext = nD[w - 1] + GE;
+        if (ext > open_) { nD[w] = ext; bits |= 32; }
+        else nD[w] = open_;
       }
-      int best = std::max(nM[w], std::max(nI[w], nD[w]));
+      int best = nM[w] > nI[w] ? nM[w] : nI[w];
+      if (nD[w] > best) best = nD[w];
       if (best == nM[w]) bits |= 0;
       else if (best == nI[w]) bits |= 1;
       else bits |= 2;
@@ -706,6 +719,12 @@ int sp_banded_align_ops(const uint8_t* a, int la, const uint8_t* b, int lb,
     ops_out[2 * t + 1] = runs[cnt - 1 - t].second;
   }
   return cnt;
+}
+
+int sp_banded_align_ops(const uint8_t* a, int la, const uint8_t* b, int lb,
+                        int band, int32_t* ops_out, int max_ops) {
+  AlignScratch sc;
+  return banded_align_ops_core(a, la, b, lb, band, ops_out, max_ops, sc);
 }
 
 // ---------------------------------------------------------------------------
@@ -790,7 +809,7 @@ static void cs_raw_runs(std::vector<CsRun>& runs, const uint8_t* q,
 
 static void cs_gap(std::vector<CsRun>& runs, const uint8_t* q, const uint8_t* t,
                    int64_t q0, int64_t q1, int64_t t0, int64_t t1,
-                   std::vector<int32_t>& buf) {
+                   std::vector<int32_t>& buf, AlignScratch& sc) {
   int64_t qlen = q1 - q0, tlen = t1 - t0;
   if (qlen <= 0 && tlen <= 0) return;
   const int64_t kMaxGapDp = 1 << 16;
@@ -807,8 +826,8 @@ static void cs_gap(std::vector<CsRun>& runs, const uint8_t* q, const uint8_t* t,
   int band = (int)std::abs(qlen - tlen) + 32;
   int64_t cap = 2 * (qlen + tlen) + 16;
   if ((int64_t)buf.size() < 2 * cap) buf.resize(2 * cap);
-  int n = sp_banded_align_ops(q + q0, (int)qlen, t + t0, (int)tlen, band,
-                              buf.data(), (int)cap);
+  int n = banded_align_ops_core(q + q0, (int)qlen, t + t0, (int)tlen, band,
+                                buf.data(), (int)cap, sc);
   if (n < 0) {  // fallback: raw runs
     cs_raw_runs(runs, q, t, q0, q1, t0, t1);
     return;
@@ -865,10 +884,11 @@ int64_t sp_build_cs(const uint8_t* q, int64_t /*qlen_total*/,
 #pragma omp parallel
   {
     std::vector<int32_t> buf;
+    AlignScratch sc;  // DP buffers reused across this thread's gaps
 #pragma omp for schedule(dynamic, 16)
     for (int64_t i = 0; i < (int64_t)gaps.size(); ++i) {
       const GapTask& g = gaps[i];
-      cs_gap(gap_runs[i], q, t, g.q0, g.q1, g.t0, g.t1, buf);
+      cs_gap(gap_runs[i], q, t, g.q0, g.q1, g.t0, g.t1, buf, sc);
     }
   }
 
@@ -1023,6 +1043,27 @@ int64_t sp_pack_body(const uint8_t* body, int64_t n, int32_t* packed,
     vmask[w] = (int32_t)vbits;
   }
   return nbases;
+}
+
+// ---------------------------------------------------------------------------
+// sp_unpack_codes: 2-bit packed words -> uint8 base codes (0..3, 4 = N).
+// One pass; replaces the numpy broadcast unpack (io/encoding.unpack_words
+// materializes (n_words, 16) intermediates — measured 6.3 s per 26 Mb
+// chromosome on the host, ~50x this loop).
+// ---------------------------------------------------------------------------
+void sp_unpack_codes(const int32_t* packed, const int32_t* vmask,
+                     int64_t n_words, int64_t n_bases, uint8_t* out) {
+  int64_t pos = 0;
+  for (int64_t w = 0; w < n_words && pos < n_bases; ++w) {
+    uint32_t p = (uint32_t)packed[w];
+    uint32_t v = (uint32_t)vmask[w];
+    int64_t lim = std::min<int64_t>(16, n_bases - pos);
+    for (int64_t i = 0; i < lim; ++i) {
+      uint8_t code = (p >> (2 * i)) & 3u;
+      out[pos + i] = ((v >> i) & 1u) ? code : (uint8_t)4;
+    }
+    pos += lim;
+  }
 }
 
 // ---------------------------------------------------------------------------

@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from subphaser_tpu.io.encoding import unpack_words
 from subphaser_tpu.io.genome import PackedGenome
 from subphaser_tpu.ops.kmer import SENTINEL, forward_codes
 from subphaser_tpu.ltr import native
@@ -244,8 +243,7 @@ def detect_ltr_chrom(
     ):
         if si.size == 0:
             continue
-        codes, valid = unpack_words(words, vwords, n_pos)
-        seq = np.where(valid.astype(bool), codes, np.uint8(4)).astype(np.uint8)
+        seq = native.unpack_codes(words, vwords, n_pos)
         cands = native.refine_ltr(seq, si, sj, prm)
         for c in cands:
             gstart = int(c["start"]) + start  # 0-based
@@ -337,8 +335,7 @@ def detect_finder_chrom(
         )
         if chains.size == 0:
             continue
-        codes, valid = unpack_words(words, vwords, n_pos)
-        seq = np.where(valid.astype(bool), codes, np.uint8(4)).astype(np.uint8)
+        seq = native.unpack_codes(words, vwords, n_pos)
         cands = native.finder_ltr(
             seq, chains["q_start"], chains["q_end"], chains["t_start"],
             chains["t_end"], prm, min_score=min_score,

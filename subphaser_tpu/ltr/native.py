@@ -149,6 +149,11 @@ def load():
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.sp_unpack_codes.restype = None
+        lib.sp_unpack_codes.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+        ]
         lib.sp_profile_align.restype = ctypes.c_int
         lib.sp_profile_align.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
@@ -263,6 +268,20 @@ def build_cs_native(
     if n < 0:
         raise RuntimeError("sp_build_cs: output buffer too small")
     return out.value.decode(), int(nmatch.value), int(alen.value)
+
+
+def unpack_codes(packed: np.ndarray, vmask: np.ndarray, n_bases: int
+                 ) -> np.ndarray:
+    """2-bit packed words -> uint8 base codes (0..3, 4 = N), one native
+    pass (the numpy broadcast unpack cost ~6 s per 26 Mb chromosome)."""
+    lib = load()
+    packed = np.ascontiguousarray(packed, dtype=np.int32)
+    vmask = np.ascontiguousarray(vmask, dtype=np.int32)
+    out = np.empty(max(n_bases, 1), dtype=np.uint8)
+    i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))  # noqa: E731
+    lib.sp_unpack_codes(i32p(packed), i32p(vmask), packed.size, n_bases,
+                        _u8ptr(out))
+    return out[:n_bases]
 
 
 def profile_align(p1: np.ndarray, sp2: np.ndarray,

@@ -152,6 +152,129 @@ def chrom_anchors(
     )
 
 
+def chrom_anchors_dev(
+    chrom: PackedChromosome, k: int = 15, mod: int = 16,
+    tile_bases: int = 1 << 23,
+):
+    """Sampled anchors for a whole chromosome, kept ON DEVICE.
+
+    Returns (codes, pos, strand) device arrays (SENTINEL/-1 padded,
+    position order) and the total count. Feeds :func:`match_anchors_dev`,
+    which joins the two sides on device so only MATCHED pairs ever cross
+    the link (through the remote tunnel the per-tile anchor downloads of
+    :func:`chrom_anchors` cost ~7 s per 26 Mb chromosome; matches are
+    ~10x smaller)."""
+    import jax
+    import jax.numpy as jnp
+
+    n_pos_words = tile_bases // 16
+    n_words = tile_words_for(tile_bases, k)
+    base_cap = max(tile_bases // mod * 2, 1 << 12)
+    parts_c, parts_p, parts_s = [], [], []
+    total = 0
+    for start in range(0, chrom.length, tile_bases):
+        w0 = start // 16
+        avail = min(n_words, chrom.packed.shape[0] - w0)
+        if avail <= 0:
+            continue
+        words = np.zeros(n_words, dtype=np.int32)
+        vwords = np.zeros(n_words, dtype=np.int32)
+        words[:avail] = chrom.packed[w0 : w0 + avail]
+        vwords[:avail] = chrom.vmask[w0 : w0 + avail]
+        cap = base_cap
+        while True:
+            c, p, s, n_total = sampled_anchors(
+                words, vwords, k=k, n_pos_words=n_pos_words, mod=mod, cap=cap
+            )
+            n = int(n_total)
+            if n <= cap or cap >= (1 << 24):
+                break
+            cap *= 4
+        p = jnp.where(p >= 0, p + np.int32(start), -1)
+        parts_c.append(c)
+        parts_p.append(p)
+        parts_s.append(s)
+        total += min(n, cap)
+    if not parts_c:
+        import jax.numpy as jnp
+
+        z = jnp.full(1, SENTINEL, jnp.int32)
+        return z, jnp.full(1, -1, jnp.int32), jnp.zeros(1, jnp.int32), 0
+    cat = lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs)  # noqa: E731
+    return cat(parts_c), cat(parts_p), cat(parts_s), total
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "max_occ"))
+def _match_dev(qc, qp, qs, tc, tp, ts, *, cap: int, max_occ: int):
+    """Device join of two anchor sets on equal canonical codes.
+
+    Mirrors :func:`match_anchors` exactly (same max_occ filters); the
+    variable-length run expansion uses the cumsum + searchsorted
+    compaction pattern (no scatter). Returns (qpos, tpos, rel) int32
+    arrays of ``cap`` entries (-1 padded) + the true pair count."""
+    import jax
+    import jax.numpy as jnp
+
+    tc_s, tp_s, ts_s = jax.lax.sort((tc, tp, ts), num_keys=1)
+    qc_sorted = jnp.sort(qc)
+    q_occ = jnp.searchsorted(qc_sorted, qc, side="right") - jnp.searchsorted(
+        qc_sorted, qc
+    )
+    lo = jnp.searchsorted(tc_s, qc)
+    hi = jnp.searchsorted(tc_s, qc, side="right")
+    runs = hi - lo
+    keep = (runs > 0) & (runs <= max_occ) & (q_occ <= max_occ) & (qc != SENTINEL)
+    c = jnp.where(keep, runs, 0)
+    csum = jnp.cumsum(c)
+    n_pairs = csum[-1]
+    t_ids = jnp.arange(cap, dtype=jnp.int32)
+    qi = jnp.searchsorted(csum, t_ids + 1)
+    qi_c = jnp.minimum(qi, qc.shape[0] - 1)
+    base = csum[qi_c] - c[qi_c]
+    tj = jnp.minimum(lo[qi_c] + (t_ids - base), tc_s.shape[0] - 1)
+    valid = t_ids < n_pairs
+    out_q = jnp.where(valid, qp[qi_c], -1)
+    out_t = jnp.where(valid, tp_s[tj], -1)
+    out_r = jnp.where(valid, (qs[qi_c] != ts_s[tj]).astype(jnp.int32), 0)
+    return out_q, out_t, out_r, n_pairs
+
+
+def match_anchors_dev(qa, ta, max_occ: int = 8):
+    """Join device anchor sets -> host (qpos, tpos, rel), (q, t)-sorted.
+
+    ``qa``/``ta`` are :func:`chrom_anchors_dev` results. Pair set is
+    identical to the host :func:`match_anchors`; order is (qpos, tpos)
+    ascending — the same order the host path produces (q anchors are
+    position-ordered and each q's t-run ascending)."""
+    import jax.numpy as jnp
+
+    qc, qp, qs, _nq = qa
+    tc, tp, ts, _nt = ta
+    cap = 1 << 17
+    while True:
+        oq, ot, orr, n_pairs = _match_dev(
+            qc, qp, qs, tc, tp, ts, cap=cap, max_occ=max_occ
+        )
+        n = int(n_pairs)
+        if n <= cap or cap >= (1 << 26):
+            break
+        cap = max(cap * 4, 1 << max(n - 1, 1).bit_length())
+    chunk = min(ANCHOR_DOWNLOAD_CHUNK, cap)
+    n_chunks = max(1, -(-min(n, cap) // chunk))
+    parts = [
+        _slice3(oq, ot, orr, np.int32(i * chunk), chunk)
+        for i in range(n_chunks)
+    ]
+    q = np.concatenate([np.asarray(x[0]) for x in parts])
+    t = np.concatenate([np.asarray(x[1]) for x in parts])
+    r = np.concatenate([np.asarray(x[2]) for x in parts])
+    m = q >= 0
+    q, t, r = q[m], t[m], r[m]
+    order = np.lexsort((t, q))
+    return (q[order].astype(np.int64), t[order].astype(np.int64),
+            r[order].astype(np.int32))
+
+
 def match_anchors(
     qc: np.ndarray, qp: np.ndarray, qs: np.ndarray,
     tc: np.ndarray, tp: np.ndarray, ts: np.ndarray,

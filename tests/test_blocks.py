@@ -355,3 +355,77 @@ def test_build_cs_native_overlapping_anchors():
     want = csmod.format_cs(ops)
     got, _, _ = build_cs_native(q, t, aq, at, qs, qe, qs, qe, k)
     assert got == want
+
+
+def test_device_match_equals_host_match():
+    """match_anchors_dev (device join, only matches downloaded) yields the
+    SAME pair set as the host match_anchors, in (q, t)-sorted order."""
+    import numpy as np
+
+    from subphaser_tpu.io.genome import PackedGenome
+    from subphaser_tpu.ops.anchors import (
+        chrom_anchors,
+        chrom_anchors_dev,
+        match_anchors,
+        match_anchors_dev,
+    )
+    from tests.test_encoding import random_seq
+
+    rng = np.random.default_rng(21)
+    core = random_seq(rng, 40_000)
+    rep = random_seq(rng, 700)
+    qseq = core[:20_000] + rep + core[20_000:] + rep
+    tseq = rep + core[5_000:35_000] + rep + rep  # high-occ repeat too
+    g = PackedGenome.from_dict({"q": qseq, "t": tseq})
+    k, mod, tb = 13, 4, 1 << 14
+
+    qc, qp, qs = chrom_anchors(g.chrom("q"), k=k, mod=mod, tile_bases=tb)
+    tc, tp, ts = chrom_anchors(g.chrom("t"), k=k, mod=mod, tile_bases=tb)
+    hq, ht, hr = match_anchors(qc, qp, qs, tc, tp, ts)
+    order = np.lexsort((ht, hq))
+    host = set(zip(hq[order], ht[order], hr[order]))
+
+    qa = chrom_anchors_dev(g.chrom("q"), k=k, mod=mod, tile_bases=tb)
+    ta = chrom_anchors_dev(g.chrom("t"), k=k, mod=mod, tile_bases=tb)
+    dq, dt, dr = match_anchors_dev(qa, ta)
+    dev = set(zip(dq, dt, dr))
+    assert dev == host
+    # device output is (q, t)-sorted
+    assert np.all(np.diff(dq) >= 0)
+
+
+def test_align_pair_device_match_paf(tmp_path):
+    """align_pair (device anchor join) still produces a valid block with a
+    cs string spanning the declared coordinates on a divergent pair."""
+    import numpy as np
+
+    from subphaser_tpu.blocks.align import align_pair
+    from subphaser_tpu.io.genome import PackedGenome
+    from tests.test_encoding import random_seq
+
+    rng = np.random.default_rng(8)
+    anc = random_seq(rng, 120_000)
+    qseq = anc
+    t_list = list(anc)
+    for p in rng.choice(len(t_list), 2000, replace=False):
+        t_list[p] = "ACGT"[rng.integers(0, 4)]
+    tseq = "".join(t_list)
+    g = PackedGenome.from_dict({"q": qseq, "t": tseq})
+    recs = align_pair(g, "q", "t", k=13, mod=4, min_block=20_000)
+    assert recs, "no block found on a 98.3%-identical pair"
+    r = recs[0]
+    # cs must walk exactly qstart..qend / tstart..tend
+    import re
+
+    qlen = tlen = 0
+    for op, val in re.findall(r"([:*+-])([A-Za-z0-9]+)", r.tags["cs"]):
+        if op == ":":
+            qlen += int(val); tlen += int(val)
+        elif op == "*":
+            qlen += 1; tlen += 1
+        elif op == "+":
+            qlen += len(val)
+        else:
+            tlen += len(val)
+    assert qlen == r.qend - r.qstart
+    assert tlen == r.tend - r.tstart

@@ -140,7 +140,13 @@ def main():
 
     t0 = time.time()
     recs = align_pair(genome, "chrA", "chrB", k=k, mod=mod)
-    print(f"align_pair all-in: {time.time()-t0:.1f}s ({len(recs)} records)",
+    print(f"align_pair all-in (cold): {time.time()-t0:.1f}s ({len(recs)} records)",
+          flush=True)
+    # warm: programs compiled, fresh caches (the per-pair production cost;
+    # run_align additionally shares caches across a homoeologous set)
+    t0 = time.time()
+    recs = align_pair(genome, "chrA", "chrB", k=k, mod=mod)
+    print(f"align_pair all-in (warm): {time.time()-t0:.1f}s ({len(recs)} records)",
           flush=True)
 
 
