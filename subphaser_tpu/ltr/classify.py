@@ -482,10 +482,22 @@ def classify_elements(
     # score all (element, frame) jobs of a chunk in fixed-size device
     # batches bucketed by padded length — one dispatch per batch instead
     # of one per frame (tunnel round trips dominate at wheat scale)
-    CHUNK = 512
-    BATCH = 256
+    CHUNK = 2048
+    BATCH = 1024
+    import time as _time
+
+    from subphaser_tpu.utils.log import logger as _logger
+
+    t_start = _time.time()
+    n_total = len(elements)
     for clo in range(0, len(elements), CHUNK):
         chunk = elements[clo : clo + CHUNK]
+        if clo and (clo // CHUNK) % 8 == 0:
+            rate = clo / (_time.time() - t_start)
+            _logger.info(
+                "Classified %d/%d elements (%.0f/s, ETA %.0f min)",
+                clo, n_total, rate, (n_total - clo) / max(rate, 1e-9) / 60,
+            )
         jobs = []  # (local ei, strand, prot, pos_map, idx)
         for ei, (eid, seq) in enumerate(chunk):
             for prot, _f, strand in six_frames(seq):
@@ -502,7 +514,10 @@ def classify_elements(
         for l, idxs in sorted(buckets.items()):
             for blo in range(0, len(idxs), BATCH):
                 sel = idxs[blo : blo + BATCH]
-                arr = np.zeros((BATCH, l), np.int32)
+                # int8 residues (values 0..19): 4x smaller uploads — the
+                # 8 MB/batch int32 upload rivaled the batch's device time
+                # through the remote tunnel
+                arr = np.zeros((BATCH, l), np.int8)
                 nv = np.zeros(BATCH, np.int32)
                 for r, j in enumerate(sel):
                     v = jobs[j][4]
