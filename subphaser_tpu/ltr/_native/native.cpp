@@ -23,6 +23,10 @@
 #include <string>
 #include <vector>
 
+#ifdef __AVX512F__
+#include <immintrin.h>
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -644,36 +648,87 @@ static int banded_align_ops_core(const uint8_t* a, int la, const uint8_t* b,
     const uint8_t* bj = b + (i - band) - 1;  // b[j-1] at offset w
     // NEG drift is bounded (<= ~6 per row * 65536 rows << INT_MIN-NEG), so
     // the per-cell reachability guards of the original formulation are
-    // unnecessary: unreachable cells just carry very-negative scores
+    // unnecessary: unreachable cells just carry very-negative scores.
+    // The row is computed in four passes so the compiler can vectorize
+    // the three w-independent ones (M/I recurrences read only the PREV
+    // row); only the D recurrence (nD[w] <- nD[w-1], same row) stays a
+    // scalar chain, and it is 4 ops per cell. Bit/tie semantics are
+    // identical to the fused formulation (cs text is parity-tested).
+    const int* Mp = M.data(); const int* Ip = I.data(); const int* Dp = D.data();
+    int* nMp = nM.data(); int* nIp = nI.data(); int* nDp = nD.data();
+    // pass 1: nM + previous-state bits (vectorizable)
     for (int w = wlo; w <= whi; ++w) {
-      uint8_t bits = 0;
-      const int Mw = M[w], Iw = I[w], Dw = D[w];
-      int prev_best = Mw > Iw ? Mw : Iw;
-      if (Dw > prev_best) prev_best = Dw;
+      const int Mw = Mp[w], Iw = Ip[w], Dw = Dp[w];
+      int pb = Mw > Iw ? Mw : Iw;
+      if (Dw > pb) pb = Dw;
       const bool m = a_ok && ai == bj[w];
-      nM[w] = prev_best + (m ? MATCH : MIS);
-      if (Iw == prev_best && Iw >= Mw) bits |= 4;
-      else if (Dw == prev_best && Dw > Mw) bits |= 8;
-      // I(i,j): consume query; from (i-1, j) -> w+1 in prev row
-      if (w + 1 < W) {
-        int open_ = M[w + 1] + GO;
-        int ext = I[w + 1] + GE;
-        if (ext > open_) { nI[w] = ext; bits |= 16; }
-        else nI[w] = open_;
-      }
-      // D(i,j): consume target; from (i, j-1) -> w-1 in current row
-      if (w - 1 >= 0) {
-        int open_ = nM[w - 1] + GO;
-        int ext = nD[w - 1] + GE;
-        if (ext > open_) { nD[w] = ext; bits |= 32; }
-        else nD[w] = open_;
-      }
-      int best = nM[w] > nI[w] ? nM[w] : nI[w];
-      if (nD[w] > best) best = nD[w];
-      if (best == nM[w]) bits |= 0;
-      else if (best == nI[w]) bits |= 1;
-      else bits |= 2;
+      nMp[w] = pb + (m ? MATCH : MIS);
+      uint8_t bits = 0;
+      if (Iw == pb && Iw >= Mw) bits = 4;       // M came from I
+      else if (Dw == pb && Dw > Mw) bits = 8;   // M came from D
       tr[w] = bits;
+    }
+    // pass 2: nI (consume query; from (i-1, j) -> w+1 in prev row)
+    {
+      const int hi = std::min(whi, W - 2);
+      for (int w = wlo; w <= hi; ++w) {
+        const int open_ = Mp[w + 1] + GO;
+        const int ext = Ip[w + 1] + GE;
+        if (ext > open_) { nIp[w] = ext; tr[w] |= 16; }
+        else nIp[w] = open_;
+      }
+    }
+    // pass 3: nD (consume target; from (i, j-1) -> w-1 in CURRENT row).
+    // nD[w] = max(C[w], nD[w-1] + GE) with C[w] = nM[w-1] + GO is a
+    // prefix-max after the shear E[w] = nD[w] - GE*w (E is the running
+    // max of X[w] = C[w] - GE*w), so it vectorizes as blockwise in-lane
+    // prefix maxes with a scalar carry; bit32 (gap EXTENDS, strict) is
+    // exactly E[w] > X[w]. Scalar fallback keeps identical semantics.
+    {
+      const int lo = std::max(wlo, 1);
+      int w = lo;
+      int carry = nDp[lo - 1] - GE * (lo - 1);  // E[lo-1]
+#ifdef __AVX512F__
+      const __m512i lane2 = _mm512_setr_epi32(0, -GE, -2 * GE, -3 * GE,
+          -4 * GE, -5 * GE, -6 * GE, -7 * GE, -8 * GE, -9 * GE, -10 * GE,
+          -11 * GE, -12 * GE, -13 * GE, -14 * GE, -15 * GE);
+      const __m512i vmin = _mm512_set1_epi32(INT32_MIN);
+      const __m512i go = _mm512_set1_epi32(GO);
+      const __m512i last = _mm512_set1_epi32(15);
+      for (; w + 15 <= whi; w += 16) {
+        const __m512i shear =
+            _mm512_add_epi32(_mm512_set1_epi32(-GE * w), lane2);
+        __m512i x = _mm512_add_epi32(
+            _mm512_add_epi32(
+                _mm512_loadu_si512((const void*)(nMp + w - 1)), go),
+            shear);
+        const __m512i x0 = x;
+        // in-lane prefix max (shift -inf into the low lanes)
+        x = _mm512_max_epi32(x, _mm512_alignr_epi32(x, vmin, 15));
+        x = _mm512_max_epi32(x, _mm512_alignr_epi32(x, vmin, 14));
+        x = _mm512_max_epi32(x, _mm512_alignr_epi32(x, vmin, 12));
+        x = _mm512_max_epi32(x, _mm512_alignr_epi32(x, vmin, 8));
+        x = _mm512_max_epi32(x, _mm512_set1_epi32(carry));
+        _mm512_storeu_si512((void*)(nDp + w), _mm512_sub_epi32(x, shear));
+        const __mmask16 ext = _mm512_cmpgt_epi32_mask(x, x0);
+        __m128i trv = _mm_loadu_si128((const __m128i*)(tr + w));
+        trv = _mm_or_si128(trv, _mm_maskz_set1_epi8(ext, 32));
+        _mm_storeu_si128((__m128i*)(tr + w), trv);
+        carry = _mm_cvtsi128_si32(
+            _mm512_castsi512_si128(_mm512_permutexvar_epi32(last, x)));
+      }
+#endif
+      for (; w <= whi; ++w) {
+        const int x0 = nMp[w - 1] + GO - GE * w;
+        if (carry > x0) { nDp[w] = carry + GE * w; tr[w] |= 32; }
+        else { nDp[w] = x0 + GE * w; carry = x0; }
+      }
+    }
+    // pass 4: best-of-three state bits (vectorizable)
+    for (int w = wlo; w <= whi; ++w) {
+      int best = nMp[w] > nIp[w] ? nMp[w] : nIp[w];
+      if (nDp[w] > best) best = nDp[w];
+      tr[w] |= (best == nMp[w]) ? 0 : (best == nIp[w]) ? 1 : 2;
     }
     M.swap(nM); I.swap(nI); D.swap(nD);
   }

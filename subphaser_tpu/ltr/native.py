@@ -76,15 +76,21 @@ class ChainOut(ctypes.Structure):
 
 def _build() -> None:
     # -fopenmp: sp_build_cs parallelizes its independent gap alignments;
-    # fall back to a serial build on toolchains without OpenMP
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-fopenmp",
-           "-o", _SO, _SRC]
-    r = subprocess.run(cmd, capture_output=True)
-    if r.returncode != 0:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _SO, _SRC],
-            check=True,
-        )
+    # -march=native: the banded-DP row passes auto-vectorize (AVX2/512).
+    # Fall back progressively on toolchains without either. Build to a
+    # temp path and os.replace so processes holding the OLD .so mapped
+    # keep their inode (g++ -o truncates in place otherwise).
+    tmp = _SO + f".build{os.getpid()}"
+    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17"]
+    for extra in (["-march=native", "-fopenmp"], ["-fopenmp"], []):
+        r = subprocess.run(base + extra + ["-o", tmp, _SRC],
+                           capture_output=True)
+        if r.returncode == 0:
+            os.replace(tmp, _SO)
+            return
+    raise RuntimeError(
+        "native build failed: " + r.stderr.decode(errors="replace")[-2000:]
+    )
 
 
 def load():
