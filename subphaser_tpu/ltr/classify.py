@@ -662,22 +662,47 @@ def classify_pass2(
         for h in sk[:8]:
             buckets.setdefault(int(h), []).append(eid)
 
+    from subphaser_tpu.utils.log import logger
+
+    logger.info(
+        "Pass-2: %d unclassified vs %d classified elements",
+        len(unclassified), len(classified),
+    )
     n_transfer = 0
-    for eid, seq in unclassified:
+    max_cand = 64
+    for ui, (eid, seq) in enumerate(unclassified):
+        if ui and ui % 4096 == 0:
+            logger.info("Pass-2: %d/%d screened, %d transferred",
+                        ui, len(unclassified), n_transfer)
         sk = _sketch(seq, k=sketch_k, s=sketch_s)
         if sk.size == 0:
             continue
-        cand: set[str] = set()
+        # Rank candidates by how many of the query's 8 smallest hashes
+        # they share and evaluate only the top ``max_cand``: repeat-family
+        # genomes put thousands of elements in each LSH bucket, so
+        # evaluating every bucket member made pass-2 quadratic (tens of
+        # minutes at 22k elements). The best Mash hit shares the most
+        # minima with overwhelming probability; the reference's blast
+        # pass is likewise top-hit-capped (app.py:417-432 keeps max_target
+        # hits only).
+        counts: dict[str, int] = {}
         for h in sk[:8]:
-            cand.update(buckets.get(int(h), ()))
+            for cid in buckets.get(int(h), ()):
+                counts[cid] = counts.get(cid, 0) + 1
+        cand = sorted(counts, key=lambda c: (-counts[c], c))[:max_cand]
         best_id, best_ident = None, 0.0
         for cid in cand:
             csk = c_sk[cid]
-            # bottom-s Jaccard on the union's s smallest hashes (Mash)
+            # bottom-s Jaccard on the union's s smallest hashes (Mash):
+            # |union_bottom_s ∩ bottom_s(a) ∩ bottom_s(b)| / s. One sort +
+            # two searchsorteds per pair — the union1d/intersect1d/isin
+            # formulation cost five sorts per pair and dominated pass-2.
             s = min(sk.size, csk.size, sketch_s)
-            merged = np.union1d(sk, csk)[:s]
-            inter = np.intersect1d(sk[:s], csk[:s], assume_unique=True)
-            shared = np.isin(merged, inter, assume_unique=True).sum()
+            a, b = sk[:s], csk[:s]
+            m = np.unique(np.concatenate([sk, csk]))[:s]
+            ia = np.minimum(np.searchsorted(a, m), s - 1)
+            ib = np.minimum(np.searchsorted(b, m), s - 1)
+            shared = int(((a[ia] == m) & (b[ib] == m)).sum())
             j = shared / max(s, 1)
             if j <= 0:
                 continue

@@ -345,3 +345,70 @@ def test_forward_oracle_decision_parity(realistic_db):
         assert v_accept == (label == "pos")
         agree += 1
     assert agree == len(cases)
+
+
+def test_pass2_family_scale_and_math():
+    """Pass-2 must stay near-linear on repeat-FAMILY genomes: every family
+    copy shares sketch minima, so the LSH buckets hold the whole family and
+    a per-pair scan over full buckets is quadratic (stalled 20+ min at 22k
+    elements on the 270 Mb run). Candidates are now capped by shared-minima
+    rank; per-pair Mash math must equal the union1d/intersect1d oracle."""
+    import time
+
+    import numpy as np
+
+    from subphaser_tpu.ltr.classify import Classification, classify_pass2
+    from subphaser_tpu.ltr.tree import _sketch
+
+    rng = np.random.default_rng(11)
+    bases = np.array(list("ACGT"))
+
+    def mutate(arr, rate):
+        m = rng.random(arr.size) < rate
+        repl = rng.integers(1, 4, int(m.sum()))
+        idx = np.flatnonzero(m)
+        out = arr.copy()
+        lut = {b: i for i, b in enumerate(bases)}
+        codes = np.array([lut[c] for c in out[idx]])
+        out[idx] = bases[(codes + repl) % 4]
+        return out
+
+    fam = rng.choice(bases, size=2000)
+    elements, d_class = [], {}
+    n_classified, n_unclassified = 200, 200
+    for i in range(n_classified):
+        eid = f"c{i}"
+        elements.append((eid, "".join(mutate(fam, 0.02))))
+        d_class[eid] = Classification(id=eid, order="LTR",
+                                      superfamily="Gypsy", clade="CRM")
+    for i in range(n_unclassified):
+        eid = f"u{i}"
+        elements.append((eid, "".join(mutate(fam, 0.02))))
+        d_class[eid] = Classification(id=eid)
+    t0 = time.time()
+    out = classify_pass2(elements, d_class)
+    wall = time.time() - t0
+    transferred = sum(1 for i in range(n_unclassified)
+                      if out[f"u{i}"].order == "LTR")
+    assert transferred == n_unclassified
+    # old full-bucket scan: ~200*200 pairs * 5 sorts >> this bound even on
+    # a loaded 4-core box; the capped path does <= 200*64 cheap pairs
+    assert wall < 30.0, f"pass-2 took {wall:.1f}s (quadratic regression?)"
+
+    # per-pair math parity with the original union1d formulation
+    for _ in range(20):
+        x = "".join(rng.choice(bases, size=int(rng.integers(300, 3000))))
+        y = "".join(mutate(np.array(list(x)), rng.uniform(0, 0.3)))
+        sk, csk = _sketch(x, k=13, s=512), _sketch(y, k=13, s=512)
+        if sk.size == 0 or csk.size == 0:
+            continue
+        s = min(sk.size, csk.size, 512)
+        merged = np.union1d(sk, csk)[:s]
+        inter = np.intersect1d(sk[:s], csk[:s], assume_unique=True)
+        want = int(np.isin(merged, inter, assume_unique=True).sum())
+        a, b = sk[:s], csk[:s]
+        m = np.unique(np.concatenate([sk, csk]))[:s]
+        ia = np.minimum(np.searchsorted(a, m), s - 1)
+        ib = np.minimum(np.searchsorted(b, m), s - 1)
+        got = int(((a[ia] == m) & (b[ib] == m)).sum())
+        assert got == want
