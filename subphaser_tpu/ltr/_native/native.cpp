@@ -23,7 +23,7 @@
 #include <string>
 #include <vector>
 
-#ifdef __AVX512F__
+#if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VL__)
 #include <immintrin.h>
 #endif
 
@@ -688,7 +688,7 @@ static int banded_align_ops_core(const uint8_t* a, int la, const uint8_t* b,
       const int lo = std::max(wlo, 1);
       int w = lo;
       int carry = nDp[lo - 1] - GE * (lo - 1);  // E[lo-1]
-#ifdef __AVX512F__
+#if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VL__)
       const __m512i lane2 = _mm512_setr_epi32(0, -GE, -2 * GE, -3 * GE,
           -4 * GE, -5 * GE, -6 * GE, -7 * GE, -8 * GE, -9 * GE, -10 * GE,
           -11 * GE, -12 * GE, -13 * GE, -14 * GE, -15 * GE);

@@ -615,6 +615,12 @@ def _window_coverage(
     return covered / total if total else 0.0
 
 
+# Deterministic pass-2 work counters (reset on every classify_pass2 call):
+# tests assert on pair_evals instead of wall clock to detect quadratic
+# regressions without load-dependent flakes.
+PASS2_STATS = {"pair_evals": 0}
+
+
 def classify_pass2(
     elements: list[tuple[str, str]],
     d_class: dict[str, Classification],
@@ -641,6 +647,7 @@ def classify_pass2(
     """
     from subphaser_tpu.ltr.tree import _sketch
 
+    PASS2_STATS["pair_evals"] = 0
     classified = [
         (eid, seq) for eid, seq in elements
         if d_class.get(eid) is not None and d_class[eid].order is not None
@@ -656,10 +663,15 @@ def classify_pass2(
     c_sk = {eid: _sketch(seq, k=sketch_k, s=sketch_s) for eid, seq in classified}
     c_seq = dict(classified)
     c_full: dict[str, np.ndarray] = {}  # full hash sets, built lazily
-    # LSH buckets on the 8 smallest hashes of each classified element
+    # LSH buckets on the 16 smallest hashes of each classified element.
+    # 16 (not 8) so the shared-minima ranking below has enough resolution
+    # to break ties before the max_cand cap; candidates tied on all 16
+    # minima are near-identical sequences whose labels are interchangeable,
+    # and remaining ties resolve lexicographically by id (deterministic).
+    n_minima = 16
     buckets: dict[int, list[str]] = {}
     for eid, sk in c_sk.items():
-        for h in sk[:8]:
+        for h in sk[:n_minima]:
             buckets.setdefault(int(h), []).append(eid)
 
     from subphaser_tpu.utils.log import logger
@@ -677,7 +689,7 @@ def classify_pass2(
         sk = _sketch(seq, k=sketch_k, s=sketch_s)
         if sk.size == 0:
             continue
-        # Rank candidates by how many of the query's 8 smallest hashes
+        # Rank candidates by how many of the query's 16 smallest hashes
         # they share and evaluate only the top ``max_cand``: repeat-family
         # genomes put thousands of elements in each LSH bucket, so
         # evaluating every bucket member made pass-2 quadratic (tens of
@@ -686,10 +698,11 @@ def classify_pass2(
         # pass is likewise top-hit-capped (app.py:417-432 keeps max_target
         # hits only).
         counts: dict[str, int] = {}
-        for h in sk[:8]:
+        for h in sk[:n_minima]:
             for cid in buckets.get(int(h), ()):
                 counts[cid] = counts.get(cid, 0) + 1
         cand = sorted(counts, key=lambda c: (-counts[c], c))[:max_cand]
+        PASS2_STATS["pair_evals"] += len(cand)
         best_id, best_ident = None, 0.0
         for cid in cand:
             csk = c_sk[cid]

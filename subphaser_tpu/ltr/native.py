@@ -16,8 +16,34 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "_native", "native.cpp")
 _SO = os.path.join(_DIR, "_native", "libsubphaser_native.so")
+_ISA_TAG = _SO + ".isa"
 _lock = threading.Lock()
 _lib = None
+
+
+def _host_isa_tag() -> str:
+    """Fingerprint of the build host's ISA.
+
+    The .so is built with -march=native; a binary carried to a host with a
+    narrower ISA loads fine via CDLL but SIGILLs at first call, so the
+    OSError-rebuild path never fires. We record the CPU feature flags at
+    build time and rebuild when they change.
+    """
+    import hashlib
+    import platform
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        feats = platform.platform()
+    return hashlib.sha256(
+        (platform.machine() + "|" + feats).encode()
+    ).hexdigest()[:16]
 
 
 class LtrParams(ctypes.Structure):
@@ -87,6 +113,8 @@ def _build() -> None:
                            capture_output=True)
         if r.returncode == 0:
             os.replace(tmp, _SO)
+            with open(_ISA_TAG, "w") as fh:
+                fh.write(_host_isa_tag())
             return
     raise RuntimeError(
         "native build failed: " + r.stderr.decode(errors="replace")[-2000:]
@@ -98,7 +126,15 @@ def load():
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        stale = (not os.path.exists(_SO)
+                 or os.path.getmtime(_SO) < os.path.getmtime(_SRC))
+        if not stale:
+            try:
+                with open(_ISA_TAG) as fh:
+                    stale = fh.read().strip() != _host_isa_tag()
+            except OSError:
+                stale = True  # no tag: built by an older version or foreign host
+        if stale:
             _build()
         try:
             lib = ctypes.CDLL(_SO)

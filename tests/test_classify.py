@@ -391,9 +391,14 @@ def test_pass2_family_scale_and_math():
     transferred = sum(1 for i in range(n_unclassified)
                       if out[f"u{i}"].order == "LTR")
     assert transferred == n_unclassified
-    # old full-bucket scan: ~200*200 pairs * 5 sorts >> this bound even on
-    # a loaded 4-core box; the capped path does <= 200*64 cheap pairs
-    assert wall < 30.0, f"pass-2 took {wall:.1f}s (quadratic regression?)"
+    # Deterministic quadratic-regression guard: the capped path evaluates
+    # <= n_unclassified * max_cand pairs; the old full-bucket scan did
+    # n_unclassified * n_classified (40000 here). Load-independent, unlike
+    # a wall-clock bound (4x timing swings on a shared 4-core box).
+    from subphaser_tpu.ltr.classify import PASS2_STATS
+    assert PASS2_STATS["pair_evals"] <= n_unclassified * 64, PASS2_STATS
+    # generous wall bound kept as a backstop for gross regressions
+    assert wall < 60.0, f"pass-2 took {wall:.1f}s (quadratic regression?)"
 
     # per-pair math parity with the original union1d formulation
     for _ in range(20):
