@@ -165,6 +165,9 @@ def load_hmm_db(path: str) -> list[Profile]:
 
 
 _NEG = -1e30
+# floor for forbidden transitions entering telescoped (shift/unshift)
+# recurrences; see ProfileStack.__init__ for why this must be moderate
+_TRANS_FLOOR = -100.0
 
 
 def viterbi_local(seq_idx: np.ndarray, prof: Profile) -> float:
@@ -178,9 +181,9 @@ def viterbi_local(seq_idx: np.ndarray, prof: Profile) -> float:
     if seq_idx.size == 0 or m == 0:
         return 0.0
     ms = prof.match_scores  # (M+1, 20)
-    tmd = np.maximum(prof.tmd, _NEG)
-    tdd = np.maximum(prof.tdd, _NEG)
-    s_cum = np.concatenate([[0.0], np.cumsum(np.maximum(tdd[1:m], _NEG))])  # S[1..m]-ish
+    tmd = np.maximum(prof.tmd, _TRANS_FLOOR)
+    tdd = np.maximum(prof.tdd, _TRANS_FLOOR)
+    s_cum = np.concatenate([[0.0], np.cumsum(tdd[1:m])])  # S[1..m]-ish
     vm = np.full(m + 1, _NEG)
     vi = np.full(m + 1, _NEG)
     vd = np.full(m + 1, _NEG)
@@ -304,9 +307,18 @@ class ProfileStack:
                 getattr(self, name)[i, : mm + 1] = np.maximum(
                     getattr(pr, name), _NEG
                 )
-            tmd = np.maximum(pr.tmd, _NEG)
-            tdd = np.maximum(pr.tdd, _NEG)
-            s_cum = np.concatenate([[0.0], np.cumsum(np.maximum(tdd[1:mm], _NEG))])
+            # Forbidden (-inf) delete transitions are clamped to a MODERATE
+            # floor for the telescoped recurrence: with a -1e30 clamp the
+            # cummax shift pair (tmd - s_prev, + s_prev) cancels values of
+            # ~1e30 magnitude whose float32 rounding noise (~1e30 * 2^-24)
+            # dwarfs real scores — and varies with XLA codegen, so the same
+            # profile scored differently under different device configs.
+            # -100 nats per step is unbeatable by any real path (match
+            # states emit ~2-3 nats) yet keeps |s_cum| <= 100*M, where the
+            # telescoping is exact to ~1e-3.
+            tmd = np.maximum(pr.tmd, _TRANS_FLOOR)
+            tdd = np.maximum(pr.tdd, _TRANS_FLOOR)
+            s_cum = np.concatenate([[0.0], np.cumsum(tdd[1:mm])])
             s_prev = np.concatenate([[0.0], s_cum[:-1]])
             self.tmd_shift[i, :mm] = tmd[:mm] - s_prev
             self.s_shift[i, :mm] = s_prev
@@ -425,7 +437,7 @@ def calibrate_null_threshold(
     role E-values play for hmmsearch in the reference's TEsorter
     (app.py:719-930).
     """
-    rng = np.random.default_rng(seed)
+    rng = np.random.default_rng([seed, 0xE7A1])  # see calibrate_evalue_model
     xs, mus, sds = [], [], []
     for L in lengths:
         best = []
@@ -445,32 +457,101 @@ def calibrate_null_threshold(
     return fn
 
 
+def calibrate_evalue_model(
+    stack: "ProfileStack",
+    L0: int = 1024,
+    n_samples: int = 24,
+    seed: int = 0,
+) -> "EvalueModel":
+    """Per-profile Karlin-Altschul/Gumbel E-value calibration.
+
+    The reference filters hmmsearch domtbl hits on E-value
+    (reference api/TEsorter/app.py:93-95, 944-958: ``-eval`` default 1e-3).
+    hmmsearch gets its Gumbel parameters from each profile's STATS lines;
+    with no hmmer binary here, the same parameters are FIT from the
+    package's own Viterbi scores on random i.i.d. peptides: local-alignment
+    max scores follow a Gumbel law whose location grows ~ ln(L)/lambda
+    (Karlin-Altschul), so sampling at one length L0 and the method of
+    moments (lambda = pi/(sd*sqrt(6)), mu = mean - gamma/lambda) gives
+
+        E(s, L) = (L / L0) * exp(-lambda * (s - mu0))
+
+    = the expected number of chance hits scoring >= s in a length-L
+    random search, per (profile, frame).
+    """
+    # seed SEQUENCE: plain default_rng(seed) reproduces the same stream a
+    # caller-side default_rng(seed) used to synthesize test profiles, and
+    # the "null" samples then contain the planted peptides verbatim
+    rng = np.random.default_rng([seed, 0xE7A1])
+    idxs = rng.integers(0, 20, size=(n_samples, L0)).astype(np.int32)
+    samples = np.stack([stack.scores_pos(row, pad_to=L0)[0] for row in idxs])
+    mean = samples.mean(axis=0)
+    sd = samples.std(axis=0) + 1e-9
+    lam = (math.pi / math.sqrt(6.0)) / sd
+    mu0 = mean - 0.5772156649 / lam
+    return EvalueModel(lam=lam, mu0=mu0, L0=L0)
+
+
+@dataclass
+class EvalueModel:
+    lam: np.ndarray   # (P,) per-profile Gumbel scale
+    mu0: np.ndarray   # (P,) per-profile Gumbel location at length L0
+    L0: int
+
+    def evalue(self, scores: np.ndarray, L: int) -> np.ndarray:
+        """(P,) Viterbi scores on a length-L frame -> (P,) E-values."""
+        e = (max(L, 1) / self.L0) * np.exp(-self.lam * (scores - self.mu0))
+        return np.minimum(e, 1e30)
+
+    def score_floor(self, max_evalue: float, L: int) -> np.ndarray:
+        """(P,) minimum score such that E(s, L) <= max_evalue."""
+        return self.mu0 + (
+            math.log(max(L, 1) / self.L0) - math.log(max_evalue)
+        ) / self.lam
+
+
 def classify_elements(
     elements: list[tuple[str, str]],
     db_path: str,
     min_score: float | None = None,
+    max_evalue: float | None = 1e-3,
 ) -> dict[str, Classification]:
     """elements: (id, inner_dna_seq). Returns id -> Classification.
 
-    ``min_score``: local-Viterbi score floor in nats. When None, the floor
-    is CALIBRATED per database from a random-peptide null model
-    (calibrate_null_threshold) with an absolute minimum of 15 nats —
-    genuine REXdb domain hits (150-300 aa profiles) score in the hundreds,
-    while chance maxima on multi-kb translations grow only
-    logarithmically.
+    Hit gating reproduces the reference's TEsorter semantics
+    (api/TEsorter/app.py:944-958): a domain hit is kept when its E-value
+    <= ``max_evalue`` (default 1e-3, the reference default). E-values come
+    from a per-profile Gumbel null fit (calibrate_evalue_model). An
+    absolute 15-nat floor guards against degenerate profiles whose null
+    variance is tiny.
+
+    ``min_score``: explicit local-Viterbi score floor in nats; when given
+    it REPLACES the E-value gate (both reference and tests use this to
+    pin decisions). ``max_evalue=None`` with ``min_score=None`` falls back
+    to the round-2 calibrated mean+3sd threshold (calibrate_null_threshold).
     """
     profiles = load_hmm_db(db_path)
     stack = ProfileStack(profiles)
     meta = [parse_rexdb_name(p.name) for p in profiles]
     thresh_fn = None
+    ev_model = None
     if min_score is None:
-        thresh_fn = calibrate_null_threshold(stack)
         from subphaser_tpu.utils.log import logger
 
-        logger.info(
-            "Classifier null calibration: threshold %.1f nats @1kaa, "
-            "%.1f @4kaa", thresh_fn(1000), thresh_fn(4000),
-        )
+        if max_evalue is not None:
+            ev_model = calibrate_evalue_model(stack)
+            f1k = ev_model.score_floor(max_evalue, 1000)
+            logger.info(
+                "Classifier E-value calibration: E<=%g floors %.1f-%.1f "
+                "nats @1kaa across %d profiles",
+                max_evalue, float(f1k.min()), float(f1k.max()), len(profiles),
+            )
+        else:
+            thresh_fn = calibrate_null_threshold(stack)
+            logger.info(
+                "Classifier null calibration: threshold %.1f nats @1kaa, "
+                "%.1f @4kaa", thresh_fn(1000), thresh_fn(4000),
+            )
     # residue -> index LUT (the per-char dict loop cost minutes at 1M+
     # elements; ambiguous residues map to -1 and are filtered out)
     aa_lut = np.full(256, -1, np.int16)
@@ -532,6 +613,10 @@ def classify_elements(
             scores, ends = j_scores[j], j_ends[j]
             if min_score is not None:
                 floor = min_score
+            elif ev_model is not None:
+                floor = np.maximum(
+                    15.0, ev_model.score_floor(max_evalue, max(idx.size, 2))
+                )
             else:
                 floor = max(15.0, thresh_fn(max(idx.size, 2)))
             for pi in np.flatnonzero(scores >= floor):

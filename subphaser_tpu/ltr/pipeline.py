@@ -36,6 +36,9 @@ class LTRPipeline:
         mu: float = 13e-9,
         overwrite: bool = False,
         tile_bases: int = 1 << 22,
+        max_evalue: float = 1e-3,
+        pass2_rule: tuple[float, float, int] | None = None,
+        pass2_enabled: bool = True,
     ):
         self.genome = genome
         self.d_class: dict = {}
@@ -47,6 +50,9 @@ class LTRPipeline:
         self.all_ltr = all_ltr
         self.intact_ltr = intact_ltr and not all_ltr
         self.mu = mu
+        self.max_evalue = max_evalue
+        self.pass2_rule = pass2_rule  # (identity%, coverage%, length)
+        self.pass2_enabled = pass2_enabled
         self.overwrite = overwrite
         self.tile_bases = tile_bases
         os.makedirs(tmpdir, exist_ok=True)
@@ -133,11 +139,19 @@ class LTRPipeline:
         elements = [
             (ltr.id, ltr.get_int_seq(d_seqs[ltr.seq_id])) for ltr in ltrs
         ]
-        d_class = clsmod.classify_elements(elements, self.hmm_db)
+        d_class = clsmod.classify_elements(
+            elements, self.hmm_db, max_evalue=self.max_evalue
+        )
         # pass-2: rescue unclassified elements by similarity to classified
         # ones (reference app.py:417-432 blast equivalent)
-        full = [(ltr.id, ltr.get_full_seq(d_seqs[ltr.seq_id])) for ltr in ltrs]
-        d_class = clsmod.classify_pass2(full, d_class)
+        if self.pass2_enabled:
+            full = [(ltr.id, ltr.get_full_seq(d_seqs[ltr.seq_id]))
+                    for ltr in ltrs]
+            p2 = self.pass2_rule or (80.0, 80.0, 80)
+            d_class = clsmod.classify_pass2(
+                full, d_class, min_identity=p2[0] / 100.0,
+                min_coverage=p2[1] / 100.0, min_length=int(p2[2]),
+            )
         self.d_class = d_class
         cls_file = self.int_seqs + ".cls.tsv"
         with open(cls_file, "w") as f:

@@ -120,6 +120,8 @@ def build_ltr_trees(
     figfmt: str = "pdf",
     seed: int = 0,
     d_class: dict | None = None,
+    trim_gt: float | None = None,
+    n_boot: int = 100,
 ) -> dict[str, tuple[str, str]]:
     """Build one tree per classified superfamily group.
 
@@ -185,11 +187,13 @@ def build_ltr_trees(
 
             aln = msamod.progressive_msa(peptides)
             msamod.write_fasta_alignment(f"{out_prefix}.{key}.aln", names, aln)
-            trimmed, _kept = msamod.trim_alignment(aln)
+            trimmed, _kept = msamod.trim_alignment(
+                aln, min_residue_frac=trim_gt if trim_gt is not None else 0.1
+            )
             msamod.write_fasta_alignment(
                 f"{out_prefix}.{key}.trimal", names, trimmed
             )
-            newick = msamod.nj_with_support(trimmed, names, n_boot=100)
+            newick = msamod.nj_with_support(trimmed, names, n_boot=n_boot)
         else:
             sketches = [
                 _sketch(ltr.get_full_seq(d_seqs[ltr.seq_id])) for ltr in ltrs

@@ -102,12 +102,11 @@ class Pipeline:
 
     _COMPAT_FLAG_DEFAULTS = {
         # accepted for reference CLI compatibility; their backends
-        # (R heatmap.2, external TEsorter/trimal/FastTree/ggtree pipelines)
-        # are replaced by native implementations with no option passthrough
+        # (R heatmap.2, external ggtree pipelines) are replaced by native
+        # implementations with no option passthrough. tesorter/trimal/tree
+        # options ARE parsed (see _parse_tool_options) for the sub-flags
+        # with native analogues.
         "aligner_options": "-x asm20 -n 10",
-        "tesorter_options": "-db rexdb -dp2",
-        "trimal_options": "-automated1",
-        "tree_options": "",
         "ggtree_options": "branch.length='none', layout='circular'",
         "heatmap_options": None,
     }
@@ -121,6 +120,85 @@ class Pipeline:
                     "no effect: the native backend takes no option "
                     "passthrough (value %r ignored)", flag, val,
                 )
+        self._parse_tool_options()
+
+    def _parse_tool_options(self):
+        """Honor the sub-flags of -tesorter_options / -trimal_options /
+        -tree_options that have native analogues; warn-ignore the rest.
+
+        Reference forwards these verbatim to the external tools
+        (reference __main__.py:146-227); the native backends expose the
+        same knobs: TEsorter -eval/--max-evalue -> E-value gate
+        (api/TEsorter/app.py:93-95), -rule/--pass2-rule id-cov-len ->
+        pass-2 gates (app.py:118-120), -nodp2 disables pass-2; trimal -gt X
+        -> column trim threshold; FastTree/iqtree -b/-B N -> bootstrap
+        replicate count.
+        """
+        self.max_evalue = 1e-3
+        self.pass2_rule = (80.0, 80.0, 80)
+        self.pass2_enabled = True
+        self.trim_gt = None
+        self.tree_boot = 1000 if self.tree_method == "iqtree" else 100
+
+        def toks(s):
+            return (s or "").split()
+
+        known_defaults = {"-db", "rexdb", "-dp2"}
+        t = toks(self.tesorter_options)
+        i = 0
+        while i < len(t):
+            tok = t[i]
+            if tok in ("-eval", "--max-evalue") and i + 1 < len(t):
+                self.max_evalue = float(t[i + 1])
+                i += 2
+            elif tok in ("-rule", "--pass2-rule") and i + 1 < len(t):
+                parts = t[i + 1].split("-")
+                self.pass2_rule = (float(parts[0]), float(parts[1]),
+                                   int(parts[2]))
+                i += 2
+            elif tok in ("-nodp2", "--no-pass2"):
+                self.pass2_enabled = False
+                i += 1
+            elif tok == "-dp2":
+                self.pass2_enabled = True
+                i += 1
+            elif tok == "-db" and i + 1 < len(t):
+                if t[i + 1] != "rexdb":
+                    logger.warning(
+                        "-tesorter_options -db %s: only the -hmm_db path "
+                        "selects the database here; ignored", t[i + 1])
+                i += 2
+            else:
+                if tok not in known_defaults:
+                    logger.warning(
+                        "-tesorter_options %r has no native analogue; "
+                        "ignored", tok)
+                i += 1
+
+        t = toks(self.trimal_options)
+        i = 0
+        while i < len(t):
+            if t[i] == "-gt" and i + 1 < len(t):
+                self.trim_gt = float(t[i + 1])
+                i += 2
+            elif t[i] == "-automated1":
+                i += 1  # the default trim heuristic plays this role
+            else:
+                logger.warning(
+                    "-trimal_options %r has no native analogue; ignored",
+                    t[i])
+                i += 1
+
+        t = toks(self.tree_options)
+        i = 0
+        while i < len(t):
+            if t[i] in ("-b", "-B", "--boot") and i + 1 < len(t):
+                self.tree_boot = int(t[i + 1])
+                i += 2
+            else:
+                logger.warning(
+                    "-tree_options %r has no native analogue; ignored", t[i])
+                i += 1
 
     # ------------------------------------------------------------------
     def run(self):
@@ -678,6 +756,9 @@ class Pipeline:
             intact_ltr=self.intact_ltr,
             mu=self.mu,
             overwrite=self.overwrite,
+            max_evalue=self.max_evalue,
+            pass2_rule=self.pass2_rule if self.pass2_enabled else None,
+            pass2_enabled=self.pass2_enabled,
         )
         ltrs, ltr_fa = lpipe.run()
         if not ltrs:
@@ -746,6 +827,7 @@ class Pipeline:
                     exclude_exchanges=self.exclude_exchanges,
                     d_colors=d_colors, figfmt=self.figfmt,
                     d_class=getattr(lpipe, "d_class", None),
+                    trim_gt=self.trim_gt, n_boot=self.tree_boot,
                 )
             except Exception as e:
                 logger.warning("LTR tree step failed: %s", e)

@@ -417,3 +417,103 @@ def test_pass2_family_scale_and_math():
         ib = np.minimum(np.searchsorted(b, m), s - 1)
         got = int(((a[ia] == m) & (b[ib] == m)).sum())
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# E-value semantics (reference api/TEsorter/app.py:93-95, 944-958: domain
+# hits gated on E-value <= max_evalue, default 1e-3)
+# ---------------------------------------------------------------------------
+def test_evalue_null_calibration(hmm_db):
+    """E(s, L) should estimate the expected number of chance hits: over
+    fresh random peptides, the observed exceedance rate of E <= e0 must be
+    on the order of P(E <= e0) = 1 - exp(-e0)."""
+    from subphaser_tpu.ltr.classify import ProfileStack, calibrate_evalue_model
+
+    path, _ = hmm_db
+    profiles = load_hmm_db(path)
+    stack = ProfileStack(profiles)
+    model = calibrate_evalue_model(stack, L0=512, n_samples=24, seed=0)
+
+    rng = np.random.default_rng(99)
+    L = 512
+    e0 = 0.5
+    n_trials = 30
+    hits = 0
+    for _ in range(n_trials):
+        idx = rng.integers(0, 20, size=L).astype(np.int32)
+        s, _pos = stack.scores_pos(idx, pad_to=L)
+        hits += int((model.evalue(np.asarray(s), L) <= e0).sum())
+    expected = n_trials * len(profiles) * (1.0 - np.exp(-e0))
+    assert expected / 4 <= hits <= expected * 4, (hits, expected)
+
+
+def test_evalue_length_scaling(hmm_db):
+    """E-values scale linearly with search length (Karlin-Altschul): the
+    same score on a 4x longer frame is 4x less significant."""
+    from subphaser_tpu.ltr.classify import ProfileStack, calibrate_evalue_model
+
+    path, _ = hmm_db
+    stack = ProfileStack(load_hmm_db(path))
+    model = calibrate_evalue_model(stack)
+    s = model.mu0 + 5.0 / model.lam
+    e1 = model.evalue(s, 1000)
+    e4 = model.evalue(s, 4000)
+    assert np.allclose(e4, 4.0 * e1)
+    # true-domain scores are overwhelming: E far below the 1e-3 default
+    f = model.score_floor(1e-3, 4000)
+    assert np.all(f < 60.0), f  # 40aa domains score >100 nats
+
+
+def test_max_evalue_gates_decisions(hmm_db):
+    """A stricter max_evalue rejects a borderline hit the default accepts."""
+    path, peptides = hmm_db
+    rng = np.random.default_rng(5)
+    # heavily mutated RT domain: enough signal for E <= 1e-3, not for 1e-30
+    pep = list(peptides["RT"])
+    for i in rng.choice(len(pep), size=len(pep) // 2, replace=False):
+        pep[i] = AMINO[int(rng.integers(0, 20))]
+    dna = reverse_translate("".join(pep))
+    filler = "".join(rng.choice(list("ACGT"), size=600))
+    el = [("x", filler + dna + filler)]
+    d_loose = classify_elements(el, path, max_evalue=10.0)
+    d_strict = classify_elements(el, path, max_evalue=1e-30)
+    assert d_loose["x"].order == "LTR"
+    assert d_strict["x"].order is None
+
+
+def test_tesorter_option_passthrough(tmp_path):
+    """-tesorter_options/-trimal_options/-tree_options sub-flags with
+    native analogues are honored (reference __main__.py:146-227 forwards
+    them to the tools)."""
+    from tests.make_synthetic import make_genome
+
+    genome, cfg = make_genome(str(tmp_path), n_sets=2, chrom_size=50_000)
+    from subphaser_tpu.phase.pipeline import Pipeline
+
+    pipe = Pipeline(
+        [genome], [cfg], outdir=str(tmp_path / "o"), tmpdir=str(tmp_path / "t"),
+        tesorter_options="-db rexdb -eval 1e-6 -rule 90-90-100 -nodp2",
+        trimal_options="-gt 0.5", tree_options="-b 7",
+        tree_method="iqtree",
+    )
+    assert pipe.max_evalue == 1e-6
+    assert pipe.pass2_rule == (90.0, 90.0, 100)
+    assert pipe.pass2_enabled is False
+    assert pipe.trim_gt == 0.5
+    assert pipe.tree_boot == 7
+
+    # defaults: reference tesorter defaults, FastTree 100-rep bootstrap
+    pipe2 = Pipeline(
+        [genome], [cfg], outdir=str(tmp_path / "o2"),
+        tmpdir=str(tmp_path / "t2"),
+    )
+    assert pipe2.max_evalue == 1e-3
+    assert pipe2.pass2_enabled is True
+    assert pipe2.trim_gt is None
+    assert pipe2.tree_boot == 100
+    # iqtree without -b: 1000 ultrafast-bootstrap convention
+    pipe3 = Pipeline(
+        [genome], [cfg], outdir=str(tmp_path / "o3"),
+        tmpdir=str(tmp_path / "t3"), tree_method="iqtree",
+    )
+    assert pipe3.tree_boot == 1000
