@@ -159,30 +159,65 @@ def run_align(
     """
     os.makedirs(outdir, exist_ok=True)
     have = set(genome.names)
-    pafs = []
-    for sg in alt_sgs:
+    # enumerate pairs first (grouped by set, so caches stay per-set), then
+    # align; in multi-process runs each rank aligns PAIRS it owns
+    # (round-robin) and PAF payloads are exchanged — the reference farms
+    # the same pair list over its grid pool (Blocks.py:50 pool_run <-
+    # RunCmdsMP.py:38-152)
+    pair_list: list[tuple[int, str, str]] = []  # (set index, chr1, chr2)
+    for si, sg in enumerate(alt_sgs):
+        for col1, col2 in combinations(sg, 2):
+            for chr1, chr2 in product(col1, col2):
+                if chr1 in have and chr2 in have:
+                    pair_list.append((si, chr1, chr2))
+
+    import jax as _jax
+
+    nproc = _jax.process_count()
+    rank = _jax.process_index()
+    paf_text: dict[int, str] = {}
+    caches: dict[int, tuple[dict, dict]] = {}
+    for pi, (si, chr1, chr2) in enumerate(pair_list):
+        out = os.path.join(outdir, f"{chr1}-{chr2}.paf")
+        if os.path.exists(out) and os.path.getsize(out) > 0:
+            with open(out) as f:
+                paf_text[pi] = f.read()
+            continue
+        if nproc > 1 and pi % nproc != rank:
+            continue
         # decoded chromosomes / device anchor sets are reused across this
         # homoeologous set's pairs and dropped afterwards (bounds host and
         # device memory to one set)
-        decode_cache: dict = {}
-        anchor_cache: dict = {}
-        for col1, col2 in combinations(sg, 2):
-            for chr1, chr2 in product(col1, col2):
-                if chr1 not in have or chr2 not in have:
-                    continue
-                out = os.path.join(outdir, f"{chr1}-{chr2}.paf")
-                if os.path.exists(out) and os.path.getsize(out) > 0:
-                    pafs.append(out)
-                    continue
-                recs = align_pair(
-                    genome, chr1, chr2, k=k, mod=mod,
-                    min_block=max(min_block // 5, 10_000),
-                    decode_cache=decode_cache,
-                    anchor_cache=anchor_cache,
-                )
-                with open(out, "w") as f:
-                    for r in recs:
-                        f.write(r.to_line() + "\n")
-                logger.info("Aligned %s vs %s: %d blocks", chr1, chr2, len(recs))
-                pafs.append(out)
+        if si not in caches:
+            caches.clear()
+            caches[si] = ({}, {})
+        decode_cache, anchor_cache = caches[si]
+        recs = align_pair(
+            genome, chr1, chr2, k=k, mod=mod,
+            min_block=max(min_block // 5, 10_000),
+            decode_cache=decode_cache,
+            anchor_cache=anchor_cache,
+        )
+        paf_text[pi] = "".join(r.to_line() + "\n" for r in recs)
+        logger.info("Aligned %s vs %s: %d blocks", chr1, chr2, len(recs))
+    if nproc > 1:
+        from subphaser_tpu.parallel.distributed import exchange_blobs
+
+        # checkpointed pairs are already present on every rank; exchange
+        # fills only the freshly aligned ones (owner = pi % nproc matches
+        # the ownership rule above)
+        blobs = {pi: t.encode() for pi, t in paf_text.items()}
+        merged = exchange_blobs(blobs, len(pair_list))
+        paf_text = {pi: b.decode() for pi, b in merged.items()}
+        logger.info(
+            "Sharded blocks: rank %d aligned %d/%d pairs",
+            rank, len(blobs), len(pair_list),
+        )
+    pafs = []
+    for pi, (si, chr1, chr2) in enumerate(pair_list):
+        out = os.path.join(outdir, f"{chr1}-{chr2}.paf")
+        if not (os.path.exists(out) and os.path.getsize(out) > 0):
+            with open(out, "w") as f:
+                f.write(paf_text.get(pi, ""))
+        pafs.append(out)
     return pafs, {}

@@ -714,6 +714,7 @@ def classify_pass2(
     min_length: int = 80,
     sketch_k: int = 13,
     sketch_s: int = 512,
+    shard: tuple[int, int] | None = None,
 ) -> dict[str, Classification]:
     """Pass-2: transfer classifications to unclassified elements by sequence
     similarity against the classified ones.
@@ -742,6 +743,12 @@ def classify_pass2(
         if len(seq) >= min_length
         and (d_class.get(eid) is None or d_class[eid].order is None)
     ]
+    if shard is not None:
+        # multi-process: this rank screens only its slice of the
+        # unclassified set (the classified reference set is replicated);
+        # the caller exchanges the transferred entries
+        rank, nproc = shard
+        unclassified = unclassified[rank::nproc]
     if not classified or not unclassified:
         return d_class
 

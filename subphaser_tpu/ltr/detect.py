@@ -385,8 +385,18 @@ def detect_ltr(
         runs.append((detect_finder_chrom, parse_finder_options(finder_options)))
     if not runs:
         runs.append((detect_ltr_chrom, parse_harvest_options(options)))
-    all_records: list[LTRRecord] = []
-    for chrom in genome.chroms:
+    # multi-process: detect only owned chromosomes, exchange per-chromosome
+    # candidate lists afterwards (reference farms LTRharvest chunks over
+    # the grid: RunCmdsMP.py:38-152 <- LTR.py:44-61 run_job)
+    import jax as _jax
+
+    nproc = _jax.process_count()
+    if nproc > 1:
+        from subphaser_tpu.parallel.distributed import owns_chrom
+    per_chrom: dict[int, list[LTRRecord]] = {}
+    for ci, chrom in enumerate(genome.chroms):
+        if nproc > 1 and not owns_chrom(ci):
+            continue
         seen: set = set()
         recs: list[LTRRecord] = []
         for fn, params in runs:
@@ -395,5 +405,28 @@ def detect_ltr(
                     seen.add(r.key)
                     recs.append(r)
         logger.info("LTR detection on %s: %d candidates", chrom.name, len(recs))
-        all_records.extend(recs)
+        per_chrom[ci] = recs
+    if nproc > 1:
+        import io
+
+        from subphaser_tpu.ltr.records import parse_scn_lines, write_scn
+        from subphaser_tpu.parallel.distributed import exchange_blobs
+
+        blobs = {}
+        for ci, recs in per_chrom.items():
+            buf = io.StringIO()
+            write_scn(recs, buf)
+            blobs[ci] = buf.getvalue().encode()
+        merged = exchange_blobs(blobs, len(genome.chroms))
+        for ci, b in merged.items():
+            if ci in per_chrom:
+                continue
+            per_chrom[ci] = parse_scn_lines(b.decode().splitlines())
+        logger.info(
+            "Sharded LTR detection: rank %d detected %d chromosomes, "
+            "merged %d", _jax.process_index(), len(blobs), len(merged),
+        )
+    all_records: list[LTRRecord] = []
+    for ci in range(len(genome.chroms)):
+        all_records.extend(per_chrom.get(ci, []))
     return all_records

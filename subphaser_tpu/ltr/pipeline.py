@@ -139,19 +139,66 @@ class LTRPipeline:
         elements = [
             (ltr.id, ltr.get_int_seq(d_seqs[ltr.seq_id])) for ltr in ltrs
         ]
-        d_class = clsmod.classify_elements(
-            elements, self.hmm_db, max_evalue=self.max_evalue
-        )
+        # multi-process: classification is the wheat-scale hot spot (1M+
+        # Viterbi jobs); shard elements round-robin and exchange the
+        # per-rank result dicts (reference farms TEsorter over the grid,
+        # RunCmdsMP.py:38-152)
+        import jax as _jax
+
+        nproc = _jax.process_count()
+        rank = _jax.process_index()
+        if nproc > 1:
+            import pickle
+
+            from subphaser_tpu.parallel.distributed import exchange_blobs
+
+            part = clsmod.classify_elements(
+                elements[rank::nproc], self.hmm_db,
+                max_evalue=self.max_evalue,
+            )
+            merged = exchange_blobs({rank: pickle.dumps(part)}, nproc)
+            d_class = {}
+            for r in range(nproc):
+                d_class.update(pickle.loads(merged[r]))
+            logger.info(
+                "Sharded classification: rank %d scored %d/%d elements",
+                rank, len(part), len(elements),
+            )
+        else:
+            d_class = clsmod.classify_elements(
+                elements, self.hmm_db, max_evalue=self.max_evalue
+            )
         # pass-2: rescue unclassified elements by similarity to classified
         # ones (reference app.py:417-432 blast equivalent)
         if self.pass2_enabled:
             full = [(ltr.id, ltr.get_full_seq(d_seqs[ltr.seq_id]))
                     for ltr in ltrs]
             p2 = self.pass2_rule or (80.0, 80.0, 80)
-            d_class = clsmod.classify_pass2(
-                full, d_class, min_identity=p2[0] / 100.0,
-                min_coverage=p2[1] / 100.0, min_length=int(p2[2]),
-            )
+            if nproc > 1:
+                import pickle
+
+                from subphaser_tpu.parallel.distributed import exchange_blobs
+
+                before = {eid for eid, c in d_class.items()
+                          if c is not None and c.order is not None}
+                part2 = clsmod.classify_pass2(
+                    full, dict(d_class), min_identity=p2[0] / 100.0,
+                    min_coverage=p2[1] / 100.0, min_length=int(p2[2]),
+                    shard=(rank, nproc),
+                )
+                delta = {
+                    eid: c for eid, c in part2.items()
+                    if c is not None and c.order is not None
+                    and eid not in before
+                }
+                merged = exchange_blobs({rank: pickle.dumps(delta)}, nproc)
+                for r in range(nproc):
+                    d_class.update(pickle.loads(merged[r]))
+            else:
+                d_class = clsmod.classify_pass2(
+                    full, d_class, min_identity=p2[0] / 100.0,
+                    min_coverage=p2[1] / 100.0, min_length=int(p2[2]),
+                )
         self.d_class = d_class
         cls_file = self.int_seqs + ".cls.tsv"
         with open(cls_file, "w") as f:

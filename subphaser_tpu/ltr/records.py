@@ -98,23 +98,27 @@ class LTRRecord:
 
 
 def parse_scn(path: str) -> list[LTRRecord]:
-    out = []
     with open(path) as f:
-        for line in f:
-            if line.startswith("#") or not line.strip():
-                continue
-            t = line.split()
-            out.append(
-                LTRRecord(
-                    seq_id=t[11] if len(t) >= 12 else str(t[10]),
-                    start=int(t[0]),
-                    end=int(t[1]),
-                    lltr=int(t[5]),
-                    rltr=int(t[8]),
-                    similarity=float(t[9]),
-                    seq_nr=int(t[10]),
-                )
+        return parse_scn_lines(f)
+
+
+def parse_scn_lines(lines) -> list[LTRRecord]:
+    out = []
+    for line in lines:
+        if line.startswith("#") or not line.strip():
+            continue
+        t = line.split()
+        out.append(
+            LTRRecord(
+                seq_id=t[11] if len(t) >= 12 else str(t[10]),
+                start=int(t[0]),
+                end=int(t[1]),
+                lltr=int(t[5]),
+                rltr=int(t[8]),
+                similarity=float(t[9]),
+                seq_nr=int(t[10]),
             )
+        )
     return out
 
 

@@ -108,6 +108,60 @@ def exchange_chrom_spectra(results: dict, chrom_names: list[str]):
         )
 
 
+def exchange_blobs(blobs: dict[int, bytes], n_items: int) -> dict[int, bytes]:
+    """Exchange per-item byte payloads across processes.
+
+    Each process contributes the items it owns (``owns_chrom``-style
+    round-robin: item ``i`` belongs to process ``i % process_count``);
+    after one padded uint8 allgather every process holds ALL items. This is
+    the generic payload collective behind sharded mapping bins, LTR .scn
+    records, classification tables and block PAFs — the reference moves
+    the same payloads through per-array-job dump files merged by the
+    parent (RunCmdsMP.py:38-217).
+    """
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    sizes = np.zeros(n_items, np.int64)
+    for i, b in blobs.items():
+        sizes[i] = len(b)
+    g_sizes = np.asarray(multihost_utils.process_allgather(sizes)).max(axis=0)
+    cap = max(int(g_sizes.max()), 1)
+    buf = np.zeros((n_items, cap), np.uint8)
+    for i, b in blobs.items():
+        buf[i, : len(b)] = np.frombuffer(b, np.uint8)
+    g = np.asarray(multihost_utils.process_allgather(buf))
+    nproc = jax.process_count()
+    out: dict[int, bytes] = {}
+    for i in range(n_items):
+        owner = i % nproc
+        out[i] = g[owner, i, : int(g_sizes[i])].tobytes()
+    return out
+
+
+def exchange_arrays(arrs: dict[int, dict], n_items: int) -> dict[int, dict]:
+    """exchange_blobs for dicts of numpy arrays (npz-encoded payloads)."""
+    import io
+
+    import numpy as np
+
+    blobs = {}
+    for i, d in arrs.items():
+        bio = io.BytesIO()
+        np.savez(bio, **d)
+        blobs[i] = bio.getvalue()
+    out = {}
+    for i, b in exchange_blobs(blobs, n_items).items():
+        with np.load(io.BytesIO(b)) as z:
+            out[i] = {k: z[k] for k in z.files}
+    return out
+
+
+def shard_indices(n: int) -> list[int]:
+    """Item indices owned by this process (round-robin, owns_chrom rule)."""
+    return list(range(jax.process_index(), n, jax.process_count()))
+
+
 def allgather_spectrum(codes, counts, cap: int, lower_count: int = 1):
     """Merge per-process partial spectra into the global spectrum.
 

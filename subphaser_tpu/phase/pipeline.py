@@ -573,8 +573,27 @@ class Pipeline:
         map_params = {"k": self.k, "bin": BIN_SIZE, "nsg": n_sg,
                       "tile": self.tile_bases, "sig": sig_digest}
         labels = self.chrom_labels
+        # multi-process: each rank maps only the chromosomes it owns and
+        # the per-chromosome (bins, hits) payloads are exchanged afterwards
+        # (reference farms sg_map chunks over the grid, RunCmdsMP.py:38-152)
+        import jax as _jax
+
+        nproc = _jax.process_count()
+        owned = None
+        chrom_snaps: dict[int, np.ndarray] = {}
+        if nproc > 1:
+            from subphaser_tpu.parallel.distributed import owns_chrom
+
+            owned = {ci for ci in range(len(labels)) if owns_chrom(ci)}
+            logger.info(
+                "Sharded mapping: rank %d owns %d/%d chromosomes",
+                _jax.process_index(), len(owned), len(labels),
+            )
         done: set[int] = set()
         for ci, label in enumerate(labels):
+            if owned is not None and ci not in owned:
+                done.add(ci)  # arrives via the post-loop exchange
+                continue
             name = f"map_bins_{label}"
             if self.ckp.has(name, map_params):
                 payload = self.ckp.load(name)
@@ -586,10 +605,12 @@ class Pipeline:
                 hits = payload.get("hits")
                 if hits is not None and hits.size:
                     acc.add(ci, np.zeros((0, n_sg), np.int64), 0, hits)
+                chrom_snaps[ci] = hits if hits is not None else np.zeros(0, np.int32)
                 done.add(ci)
-        if done:
+        n_resumed = len(done) - (len(labels) - len(owned) if owned else 0)
+        if n_resumed:
             logger.info("Resumed mapping from checkpoint for %d/%d chromosomes",
-                        len(done), len(labels))
+                        n_resumed, len(owned) if owned else len(labels))
 
         # dispatch-ahead window: jax dispatch is async, so keeping a few
         # batches in flight overlaps device compute with the host-side
@@ -620,6 +641,7 @@ class Pipeline:
                     snap = hs.snapshot()
                     with hits_lock:
                         acc.add(ci, np.zeros((0, n_sg), np.int64), 0, snap)
+                        chrom_snaps[ci] = snap
                     self.ckp.save(f"map_bins_{labels[ci]}", map_params,
                                   bins=acc.per_chrom[ci], hits=snap)
                 finally:
@@ -693,6 +715,26 @@ class Pipeline:
             _collect_map()
         for t in finish_threads:
             t.join()
+        if owned is not None:
+            # one payload collective completes every rank's accumulator
+            # with the chromosomes other ranks mapped (byte-identical to a
+            # single-process run: bins and hit lists are deterministic)
+            from subphaser_tpu.parallel.distributed import exchange_arrays
+
+            payload = {
+                ci: {"bins": acc.per_chrom[ci],
+                     "hits": chrom_snaps.get(ci, np.zeros(0, np.int32))}
+                for ci in sorted(owned)
+            }
+            merged = exchange_arrays(payload, len(labels))
+            for ci, d in merged.items():
+                if ci in owned:
+                    continue
+                acc.per_chrom[ci] = d["bins"].astype(np.int64)
+                acc.mapped_positions += int(d["bins"].sum())
+                if d["hits"].size:
+                    acc.add(ci, np.zeros((0, n_sg), np.int64), 0,
+                            d["hits"].astype(np.int32))
         meter.stop(self.genome.total_bases() / 1e6)
         meter.log()
         total = max(len(sig), 1)

@@ -36,12 +36,15 @@ def main(coordinator: str, rank: int, nproc: int, shared: str):
 
     out = os.path.join(shared, f"out_r{rank}")
     tmp = os.path.join(shared, f"tmp_r{rank}")
+    hmm = os.path.join(shared, "rexdb_mini.hmm")
     pipe = Pipeline(
         [genome], [cfg],
         outdir=out, tmpdir=tmp,
         min_freq=50, replicates=50, tile_bases=1 << 16, figfmt="png",
-        disable_ltr=True, disable_circos=True, disable_blocks=True,
-        window_size=50_000,
+        window_size=50_000, min_block=10_000,
+        hmm_db=hmm if os.path.exists(hmm) else None,
+        # FULL default: mapping, LTR detection/classification, blocks and
+        # circos all run SHARDED across the processes (VERDICT r3 #4)
     )
     pipe.run()
     jax.distributed.shutdown()

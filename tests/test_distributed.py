@@ -95,7 +95,8 @@ def test_two_process_pipeline_run(tmp_path):
         from make_synthetic import make_genome
     finally:
         sys.path.pop(0)
-    make_genome(str(shared), n_sets=3, chrom_size=100_000)
+    make_genome(str(shared), n_sets=3, chrom_size=100_000,
+                with_ltr_domains=True)
 
     port = _free_port()
     env = dict(os.environ)
@@ -123,8 +124,14 @@ def test_two_process_pipeline_run(tmp_path):
         outputs.append(stdout.decode(errors="replace"))
     for p, text in zip(procs, outputs):
         assert p.returncode == 0, f"pipeline worker failed:\n{text[-4000:]}"
-    # the distributed-counting path must actually have engaged
-    assert any("Distributed counting" in t for t in outputs), outputs[0][-2000:]
+    # every sharded stage must actually have engaged and divided work
+    for marker in ("Distributed counting", "Sharded mapping",
+                   "Sharded LTR detection", "Sharded classification",
+                   "Sharded blocks"):
+        assert any(marker in t for t in outputs), (marker, outputs[0][-3000:])
+    # work division: each rank owns a strict subset of the chromosomes
+    assert any("rank 0 owns 3/6 chromosomes" in t for t in outputs)
+    assert any("rank 1 owns 3/6 chromosomes" in t for t in outputs)
 
     # single-process run on the same input
     from subphaser_tpu.phase.pipeline import Pipeline
@@ -133,8 +140,8 @@ def test_two_process_pipeline_run(tmp_path):
         [str(shared / "genome.fa.gz")], [str(shared / "sg.config")],
         outdir=str(shared / "out_single"), tmpdir=str(shared / "tmp_single"),
         min_freq=50, replicates=50, tile_bases=1 << 16, figfmt="png",
-        disable_ltr=True, disable_circos=True, disable_blocks=True,
-        window_size=50_000,
+        window_size=50_000, min_block=10_000,
+        hmm_db=str(shared / "rexdb_mini.hmm"),
     ).run()
 
     def data_files(d):

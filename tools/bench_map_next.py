@@ -343,5 +343,133 @@ if __name__ == "__main__":
         bench_gather_sizes()
     elif which == "cuckoo":
         bench_cuckoo()
+    elif which == "mph":
+        bench_mph()
     else:
         bench_parts(wheat="wheat" in sys.argv)
+
+
+def bench_mph():
+    """Small-table EXACT membership candidates vs the 4 GiB dense gather.
+
+    a) chd2g  — CHD perfect hash: disp[bucket] gather (2 MiB) + one int64
+       gather (32 MiB) storing (code << 32 | composite) so the code IS the
+       fingerprint (exact membership, VERDICT r3 'missing' #3 proposal —
+       but it needs TWO gathers; this measures whether two small-table
+       gathers beat one giant-table gather).
+    b) dense8 — direct-address int8 table (1 GiB): value = sg+1 only; the
+       distinct-hit statistic then must dedup hit CODES instead of table
+       indices (same sort cost). ONE gather, 4x smaller table than int32.
+    c) dense32 — the production 4 GiB int32 composite table.
+
+    All variants compute the same checksum sum((sg+1)*w) over hits.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from subphaser_tpu.ops.kmer import SENTINEL, forward_codes
+    from subphaser_tpu.utils.compcache import enable_compilation_cache
+
+    enable_compilation_cache()
+    n_pos_words = TILE_BASES // 16
+    mask_code = (1 << (2 * K)) - 1
+    ws, vs, st, table32, sig_codes, sig_sg = _mk_inputs(wheat="wheat" in sys.argv)
+
+    m = sig_codes.size
+    # ---- CHD build (host): bucket by h1, displace into T slots via h2+d
+    TB = 22                      # 2^22 slots * 8 B = 32 MiB, load 0.5
+    T = 1 << TB
+    BB = 19                      # 2^19 buckets * 4 B = 2 MiB disp array
+    NB = 1 << BB
+    cu = sig_codes.astype(np.uint32)
+    K1, K2 = np.uint32(0x9E3779B1), np.uint32(0x85EBCA77)
+    bucket = ((cu * K1) >> np.uint32(32 - BB)).astype(np.int64)
+    h2 = ((cu * K2) >> np.uint32(32 - TB)).astype(np.int64)
+    comp = ((np.arange(m, dtype=np.int64) + 1) << 4) | sig_sg
+    val64 = (sig_codes.astype(np.int64) << 32) | comp
+    order = np.argsort(np.bincount(bucket, minlength=NB))[::-1]
+    by_bucket: dict[int, np.ndarray] = {}
+    srt = np.argsort(bucket, kind="stable")
+    bs = bucket[srt]
+    edges = np.searchsorted(bs, np.arange(NB + 1))
+    t0 = time.time()
+    slots_used = np.zeros(T, bool)
+    disp = np.zeros(NB, np.int32)
+    placed_slot = np.empty(m, np.int64)
+    for b in order:
+        lo, hi = edges[b], edges[b + 1]
+        if lo == hi:
+            continue
+        idxs = srt[lo:hi]
+        hh = h2[idxs]
+        if np.unique(hh).size != hh.size:
+            # intra-bucket h2 collision: displacement cannot separate
+            # them; fall back marker (drop to dense for these — count them)
+            disp[b] = -1
+            placed_slot[idxs] = -1
+            continue
+        for d in range(1 << 16):
+            s = (hh + d) & (T - 1)
+            if not slots_used[s].any():
+                slots_used[s] = True
+                disp[b] = d
+                placed_slot[idxs] = s
+                break
+        else:
+            disp[b] = -1
+            placed_slot[idxs] = -1
+    dropped = int((placed_slot < 0).sum())
+    print(f"chd build: {time.time()-t0:.1f}s, {m-dropped}/{m} placed, "
+          f"{dropped} dropped (h2 collisions)", flush=True)
+    tab64 = np.zeros(T, np.int64)
+    ok = placed_slot >= 0
+    tab64[placed_slot[ok]] = val64[ok]
+    d_disp = jax.device_put(disp)
+    d_tab64 = jax.device_put(tab64)
+
+    # ---- int8 dense
+    t8 = np.zeros(1 << (2 * K), np.int8)
+    t8[sig_codes] = (sig_sg + 1).astype(np.int8)
+    d_t8 = jax.device_put(t8)
+
+    def mk_step(body):
+        @jax.jit
+        def step(ws, vs, st, salt):
+            def one(args):
+                w, v, s = args
+                fcodes = forward_codes(w ^ salt, v, K, n_pos_words)
+                c = fcodes.reshape(-1) & mask_code
+                sgp1 = body(c)  # (n,) int32: sg+1 on hit, 0 on miss
+                okm = fcodes.reshape(-1) != SENTINEL
+                wgt = jax.lax.iota(jnp.uint32, c.size)
+                return jnp.sum(
+                    jnp.where(okm, sgp1, 0).astype(jnp.uint32) * wgt
+                )
+            return jnp.sum(jax.lax.map(one, (ws, vs, st)))
+        return step
+
+    def body_dense32(c):
+        val = table32[c]
+        return jnp.where(val > 0, (val & 15) + 1, 0)
+
+    def body_dense8(c):
+        return d_t8[c].astype(jnp.int32)
+
+    def body_chd(c):
+        cu_ = c.astype(jnp.uint32)
+        b = ((cu_ * jnp.uint32(0x9E3779B1)) >> jnp.uint32(32 - BB)).astype(jnp.int32)
+        h = ((cu_ * jnp.uint32(0x85EBCA77)) >> jnp.uint32(32 - TB)).astype(jnp.int32)
+        d = d_disp[b]
+        s = (h + jnp.maximum(d, 0)) & (T - 1)
+        e = d_tab64[s]
+        hit = (e >> 32).astype(jnp.int32) == c
+        return jnp.where(hit, ((e & 15) + 1).astype(jnp.int32), 0)
+
+    mbp = N_TILES * TILE_BASES / 1e6
+    for name, body in (("dense32 4GiB", body_dense32),
+                       ("dense8 1GiB", body_dense8),
+                       ("chd 2MiB+32MiB 2-gather", body_chd)):
+        fn = mk_step(body)
+        dt, out = _time(fn, (ws, vs, st), name)
+        print(f"{name}: {mbp/dt:.1f} Mbp/s ({dt*1e3:.0f} ms/batch) chk={out}",
+              flush=True)
