@@ -260,8 +260,11 @@ def _viterbi_scan_batch():
         l = seq_idx.shape[0]
         valid = jnp.arange(l) < n_valid
         posv = jnp.arange(l, dtype=jnp.int32)
+        # unroll: each scan step is a small (P, M) elementwise kernel, so
+        # at L ~ 1500 the loop is step-overhead-bound on the TPU; unrolling
+        # amortizes the per-iteration cost (measured in tools/bench_viterbi)
         (vm, vi, vd, best, bpos), _ = jax.lax.scan(
-            step, init, (seq_idx, valid, posv)
+            step, init, (seq_idx, valid, posv), unroll=8
         )
         return best, bpos
 
@@ -681,23 +684,74 @@ def _window_coverage(
     aligned windows pass while windows outside the matched region share
     nothing beyond negligible-chance hash collisions.
     """
-    from subphaser_tpu.ltr.tree import _sketch
+    from subphaser_tpu.ltr.tree import _sketch_pos
 
     L = len(seq)
     if L < sketch_k or cand_hashes.size == 0:
         return 0.0
     n_windows = min(max_windows, max(1, L // target_window))
     w = -(-L // n_windows)  # ceil: windows cover the whole query
-    covered = total = 0
-    for lo in range(0, L, w):
-        sub = seq[lo : lo + w + sketch_k - 1]
-        hs = _sketch(sub, k=sketch_k, s=1 << 30)  # full set of this window
-        if hs.size == 0:
+    # ONE hash pass over the query (the per-window _sketch calls were the
+    # pass-2 hot spot: 16 canonical-code scans per query), then one
+    # searchsorted into the candidate's sorted full hash set; per-window
+    # DISTINCT shared hashes via unique (window, hash) pairs.
+    h, pos = _sketch_pos(seq, k=sketch_k)
+    if h.size == 0:
+        return 0.0
+    win = (pos // w).astype(np.uint64)
+    i = np.searchsorted(cand_hashes, h)
+    i = np.minimum(i, cand_hashes.size - 1)
+    m = cand_hashes[i] == h
+    total = int(np.unique(win).size)
+    if not m.any() or total == 0:
+        return 0.0
+    wm, hm = win[m], h[m]
+    o = np.lexsort((hm, wm))
+    wm, hm = wm[o], hm[o]
+    new = np.ones(wm.size, bool)
+    new[1:] = (wm[1:] != wm[:-1]) | (hm[1:] != hm[:-1])
+    _wins, counts = np.unique(wm[new], return_counts=True)
+    covered = int((counts >= min_shared).sum())
+    return covered / total
+
+
+def _batched_bottom_s_shared(
+    sk: np.ndarray, csks: list[np.ndarray], sketch_s: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """For each candidate sketch b_i: the Mash bottom-s shared count
+
+        shared_i = |{h in bottom_s(sk ∪ b_i) : h in sk[:s_i] and b_i[:s_i]}|
+
+    with s_i = min(|sk|, |b_i|, sketch_s) — exactly the per-pair
+    unique+searchsorted formulation (see test_classify math-parity test),
+    computed for ALL candidates with ONE (C, W) argsort. Entries carry an
+    origin bit and an in-bottom-s flag; after sorting each row by hash,
+    duplicates are adjacent (each side's hashes are unique), so a shared
+    bottom-s hash is a unique-start whose pair covers both origins.
+    Returns (shared (C,), s (C,)).
+    """
+    C = len(csks)
+    na = sk.size
+    ja = np.arange(na, dtype=np.int64)
+    shared = np.zeros(C, np.int64)
+    s_v = np.empty(C, np.int64)
+    for i, b in enumerate(csks):
+        s = min(na, b.size, sketch_s)
+        s_v[i] = s
+        if s == 0 or b.size == 0:
             continue
-        total += 1
-        if int(np.isin(hs, cand_hashes, assume_unique=True).sum()) >= min_shared:
-            covered += 1
-    return covered / total if total else 0.0
+        # merge by rank: sa[j] = how many b-hashes precede sk[j], so the
+        # union rank of a SHARED hash sk[j] is j + sa[j] - (#shared before
+        # it) — each earlier shared hash collapsed two merged entries into
+        # one union element.
+        sa = np.searchsorted(b, sk)
+        eq = b[np.minimum(sa, b.size - 1)] == sk
+        dups_before = np.cumsum(eq) - eq  # exclusive
+        urank = ja + sa - dups_before
+        shared[i] = int(
+            (eq & (ja < s) & (sa < s) & (urank < s)).sum()
+        )
+    return shared, s_v
 
 
 # Deterministic pass-2 work counters (reset on every classify_pass2 call):
@@ -755,16 +809,27 @@ def classify_pass2(
     c_sk = {eid: _sketch(seq, k=sketch_k, s=sketch_s) for eid, seq in classified}
     c_seq = dict(classified)
     c_full: dict[str, np.ndarray] = {}  # full hash sets, built lazily
-    # LSH buckets on the 16 smallest hashes of each classified element.
+    # LSH index on the 16 smallest hashes of each classified element.
     # 16 (not 8) so the shared-minima ranking below has enough resolution
     # to break ties before the max_cand cap; candidates tied on all 16
     # minima are near-identical sequences whose labels are interchangeable,
     # and remaining ties resolve lexicographically by id (deterministic).
+    # The index is a SORTED (hash, classified-index) table — the dict-of-
+    # lists bucket walk cost ~450k dict ops per query on repeat-family
+    # genomes (every family member shares every minimum).
     n_minima = 16
-    buckets: dict[int, list[str]] = {}
-    for eid, sk in c_sk.items():
-        for h in sk[:n_minima]:
-            buckets.setdefault(int(h), []).append(eid)
+    c_ids = [eid for eid, _ in classified]
+    id_rank = np.empty(len(c_ids), np.int64)
+    id_rank[np.argsort(np.array(c_ids))] = np.arange(len(c_ids))
+    mh_parts, mc_parts = [], []
+    for i, eid in enumerate(c_ids):
+        mm = c_sk[eid][:n_minima]
+        mh_parts.append(mm)
+        mc_parts.append(np.full(mm.size, i, np.int32))
+    all_mh = np.concatenate(mh_parts) if mh_parts else np.zeros(0, np.uint64)
+    all_mc = np.concatenate(mc_parts) if mc_parts else np.zeros(0, np.int32)
+    o = np.argsort(all_mh, kind="stable")
+    all_mh, all_mc = all_mh[o], all_mc[o]
 
     from subphaser_tpu.utils.log import logger
 
@@ -788,33 +853,42 @@ def classify_pass2(
         # minutes at 22k elements). The best Mash hit shares the most
         # minima with overwhelming probability; the reference's blast
         # pass is likewise top-hit-capped (app.py:417-432 keeps max_target
-        # hits only).
-        counts: dict[str, int] = {}
-        for h in sk[:n_minima]:
-            for cid in buckets.get(int(h), ()):
-                counts[cid] = counts.get(cid, 0) + 1
-        cand = sorted(counts, key=lambda c: (-counts[c], c))[:max_cand]
+        # hits only). Ranking is fully vectorized: range lookups into the
+        # sorted minima table + one bincount.
+        q16 = sk[:n_minima]
+        lo = np.searchsorted(all_mh, q16, "left")
+        hi = np.searchsorted(all_mh, q16, "right")
+        hit_cids = np.concatenate(
+            [all_mc[l:h] for l, h in zip(lo, hi)]
+        ) if q16.size else np.zeros(0, np.int32)
+        if hit_cids.size:
+            cnt = np.bincount(hit_cids, minlength=len(c_ids))
+            nz = np.flatnonzero(cnt)
+            order = np.lexsort((id_rank[nz], -cnt[nz]))[:max_cand]
+            cand = [c_ids[i] for i in nz[order]]
+        else:
+            cand = []
         PASS2_STATS["pair_evals"] += len(cand)
         best_id, best_ident = None, 0.0
-        for cid in cand:
-            csk = c_sk[cid]
+        if cand:
             # bottom-s Jaccard on the union's s smallest hashes (Mash):
-            # |union_bottom_s ∩ bottom_s(a) ∩ bottom_s(b)| / s. One sort +
-            # two searchsorteds per pair — the union1d/intersect1d/isin
-            # formulation cost five sorts per pair and dominated pass-2.
-            s = min(sk.size, csk.size, sketch_s)
-            a, b = sk[:s], csk[:s]
-            m = np.unique(np.concatenate([sk, csk]))[:s]
-            ia = np.minimum(np.searchsorted(a, m), s - 1)
-            ib = np.minimum(np.searchsorted(b, m), s - 1)
-            shared = int(((a[ia] == m) & (b[ib] == m)).sum())
-            j = shared / max(s, 1)
-            if j <= 0:
-                continue
-            # Mash distance -> identity estimate
-            ident = 1.0 + np.log(2.0 * j / (1.0 + j)) / sketch_k
-            if ident > best_ident:
-                best_ident, best_id = float(ident), cid
+            # |union_bottom_s ∩ bottom_s(a) ∩ bottom_s(b)| / s, for ALL
+            # candidates in one origin-tagged batched sort — the
+            # per-candidate unique+searchsorted loop dominated pass-2 at
+            # wheat scale (~31 ms/query).
+            shared_v, s_v = _batched_bottom_s_shared(
+                sk, [c_sk[cid] for cid in cand], sketch_s
+            )
+            j_v = shared_v / np.maximum(s_v, 1)
+            with np.errstate(divide="ignore"):
+                ident_v = np.where(
+                    j_v > 0,
+                    1.0 + np.log(2.0 * j_v / (1.0 + j_v)) / sketch_k,
+                    -np.inf,
+                )
+            bi = int(np.argmax(ident_v))
+            if np.isfinite(ident_v[bi]):
+                best_ident, best_id = float(ident_v[bi]), cand[bi]
         if best_id is not None and best_ident >= min_identity:
             # qcovs gate (reference app.py:417-432): >= min_coverage of the
             # query's windows must share k-mers with the best hit

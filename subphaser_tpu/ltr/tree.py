@@ -29,15 +29,18 @@ SKETCH = 256
 SKETCH_K = 13
 
 
-def _sketch(seq: str, k: int = SKETCH_K, s: int = SKETCH) -> np.ndarray:
-    """Bottom-s MinHash sketch of canonical k-mer hashes (uint64, sorted)."""
+def _sketch_pos(seq: str, k: int = SKETCH_K) -> tuple[np.ndarray, np.ndarray]:
+    """All canonical k-mer hashes of ``seq`` WITH their positions
+    (unsorted, duplicates kept). Shared engine under _sketch and the
+    pass-2 window-coverage gate (one pass instead of one per window)."""
     from subphaser_tpu.io.encoding import canonical_code, encode_bases
 
     b = np.frombuffer(seq.upper().encode(), dtype=np.uint8)
     codes, valid = encode_bases(b)
     n = codes.shape[0] - k + 1
     if n <= 0:
-        return np.zeros(0, dtype=np.uint64)
+        z = np.zeros(0, dtype=np.uint64)
+        return z, np.zeros(0, dtype=np.int64)
     c = codes.astype(np.int64)
     code = np.zeros(n, dtype=np.int64)
     ok = np.ones(n, dtype=bool)
@@ -45,12 +48,19 @@ def _sketch(seq: str, k: int = SKETCH_K, s: int = SKETCH) -> np.ndarray:
         code = (code << 2) | c[j : j + n]
         ok &= valid[j : j + n].astype(bool)
     code &= (1 << (2 * k)) - 1
-    canon = canonical_code(code[ok], k).astype(np.uint64)
+    pos = np.flatnonzero(ok)
+    canon = canonical_code(code[pos], k).astype(np.uint64)
     # splitmix-ish scramble so bottom-s is uniform
     h = canon * np.uint64(0x9E3779B97F4A7C15)
     h ^= h >> np.uint64(29)
     h *= np.uint64(0xBF58476D1CE4E5B9)
     h ^= h >> np.uint64(32)
+    return h, pos
+
+
+def _sketch(seq: str, k: int = SKETCH_K, s: int = SKETCH) -> np.ndarray:
+    """Bottom-s MinHash sketch of canonical k-mer hashes (uint64, sorted)."""
+    h, _pos = _sketch_pos(seq, k)
     u = np.unique(h)
     return u[:s]
 

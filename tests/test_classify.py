@@ -517,3 +517,37 @@ def test_tesorter_option_passthrough(tmp_path):
         tmpdir=str(tmp_path / "t3"), tree_method="iqtree",
     )
     assert pipe3.tree_boot == 1000
+
+
+def test_batched_bottom_s_shared_parity():
+    """The batched pass-2 Mash kernel must reproduce the per-pair
+    unique+searchsorted formulation exactly."""
+    from subphaser_tpu.ltr.classify import _batched_bottom_s_shared
+    from subphaser_tpu.ltr.tree import _sketch
+
+    rng = np.random.default_rng(21)
+    bases = np.array(list("ACGT"))
+    sk = _sketch("".join(rng.choice(bases, size=2500)), k=13, s=512)
+    csks = []
+    for n in (80, 300, 700, 3000, 5000):
+        csks.append(_sketch("".join(rng.choice(bases, size=n)), k=13, s=512))
+    # a related sequence too (real shared hashes, not just chance)
+    rel = "".join(rng.choice(bases, size=2500))
+    base = np.array(list(rel))
+    mut = base.copy()
+    idx = rng.choice(base.size, size=150, replace=False)
+    mut[idx] = bases[rng.integers(0, 4, idx.size)]
+    sk = _sketch("".join(base), k=13, s=512)
+    csks.append(_sketch("".join(mut), k=13, s=512))
+    csks = [c for c in csks if c.size]
+
+    shared_v, s_v = _batched_bottom_s_shared(sk, csks, 512)
+    for i, csk in enumerate(csks):
+        s = min(sk.size, csk.size, 512)
+        a, b = sk[:s], csk[:s]
+        m = np.unique(np.concatenate([sk, csk]))[:s]
+        ia = np.minimum(np.searchsorted(a, m), s - 1)
+        ib = np.minimum(np.searchsorted(b, m), s - 1)
+        want = int(((a[ia] == m) & (b[ib] == m)).sum())
+        assert int(shared_v[i]) == want, (i, int(shared_v[i]), want)
+        assert int(s_v[i]) == s

@@ -337,18 +337,6 @@ def bench_cuckoo():
               flush=True)
 
 
-if __name__ == "__main__":
-    which = sys.argv[1] if len(sys.argv) > 1 else "parts"
-    if which == "gather":
-        bench_gather_sizes()
-    elif which == "cuckoo":
-        bench_cuckoo()
-    elif which == "mph":
-        bench_mph()
-    else:
-        bench_parts(wheat="wheat" in sys.argv)
-
-
 def bench_mph():
     """Small-table EXACT membership candidates vs the 4 GiB dense gather.
 
@@ -473,3 +461,15 @@ def bench_mph():
         dt, out = _time(fn, (ws, vs, st), name)
         print(f"{name}: {mbp/dt:.1f} Mbp/s ({dt*1e3:.0f} ms/batch) chk={out}",
               flush=True)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "parts"
+    if which == "gather":
+        bench_gather_sizes()
+    elif which == "cuckoo":
+        bench_cuckoo()
+    elif which == "mph":
+        bench_mph()
+    else:
+        bench_parts(wheat="wheat" in sys.argv)
