@@ -149,6 +149,40 @@ def main():
     print(f"align_pair all-in (warm): {time.time()-t0:.1f}s ({len(recs)} records)",
           flush=True)
 
+    # warm PRODUCTION stage breakdown (the device-join path align_pair uses)
+    from subphaser_tpu.ops.anchors import chrom_anchors_dev, match_anchors_dev
+
+    t0 = time.time()
+    qa = chrom_anchors_dev(q, k=k, mod=mod)
+    t1 = time.time()
+    ta_ = chrom_anchors_dev(t, k=k, mod=mod)
+    t2 = time.time()
+    qpos, tpos, rel = match_anchors_dev(qa, ta_)
+    t3 = time.time()
+    m = rel == 0
+    qq, tt = qpos[m], tpos[m]
+    alen = np.full(qq.size, k, dtype=np.int32)
+    chains = chain_anchors(qq, tt, alen, 1, max_gap=100_000,
+                           min_chain_len=20_000, min_chain_anchors=10)
+    t4 = time.time()
+    total_cs = 0
+    for c in chains:
+        sel = ((qq >= c["q_start"]) & (qq < c["q_end"])
+               & (tt >= c["t_start"]) & (tt < c["t_end"]))
+        aq_, at_ = qq[sel], tt[sel]
+        o = np.lexsort((at_, aq_))
+        aq_, at_ = _lis_anchors(aq_[o], at_[o])
+        cs_text, _nm, _al = build_cs_native(
+            q_codes, t_codes, aq_, at_,
+            int(c["q_start"]), int(c["q_end"]),
+            int(c["t_start"]), int(c["t_end"]), k, minus=False,
+        )
+        total_cs += len(cs_text)
+    t5 = time.time()
+    print(f"warm prod stages: anchors_dev {t1-t0:.1f}+{t2-t1:.1f}s, "
+          f"match_dev {t3-t2:.1f}s ({qpos.size} pairs), chain {t4-t3:.1f}s, "
+          f"lis+cs {t5-t4:.1f}s ({total_cs/1e6:.1f} MB)", flush=True)
+
 
 if __name__ == "__main__":
     main()

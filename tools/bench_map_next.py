@@ -421,13 +421,16 @@ def bench_mph():
     d_t8 = jax.device_put(t8)
 
     def mk_step(body):
+        # tables enter as ARGS (t1, t2): a closure over a device array
+        # bakes it as a program CONSTANT (4.3 GB program upload through
+        # the tunnel never finishes)
         @jax.jit
-        def step(ws, vs, st, salt):
+        def step(ws, vs, st, t1, t2, salt):
             def one(args):
                 w, v, s = args
                 fcodes = forward_codes(w ^ salt, v, K, n_pos_words)
                 c = fcodes.reshape(-1) & mask_code
-                sgp1 = body(c)  # (n,) int32: sg+1 on hit, 0 on miss
+                sgp1 = body(c, t1, t2)  # (n,) int32: sg+1 on hit, 0 on miss
                 okm = fcodes.reshape(-1) != SENTINEL
                 wgt = jax.lax.iota(jnp.uint32, c.size)
                 return jnp.sum(
@@ -436,29 +439,31 @@ def bench_mph():
             return jnp.sum(jax.lax.map(one, (ws, vs, st)))
         return step
 
-    def body_dense32(c):
-        val = table32[c]
+    def body_dense32(c, t1, _t2):
+        val = t1[c]
         return jnp.where(val > 0, (val & 15) + 1, 0)
 
-    def body_dense8(c):
-        return d_t8[c].astype(jnp.int32)
+    def body_dense8(c, t1, _t2):
+        return t1[c].astype(jnp.int32)
 
-    def body_chd(c):
+    def body_chd(c, t1, t2):
         cu_ = c.astype(jnp.uint32)
         b = ((cu_ * jnp.uint32(0x9E3779B1)) >> jnp.uint32(32 - BB)).astype(jnp.int32)
         h = ((cu_ * jnp.uint32(0x85EBCA77)) >> jnp.uint32(32 - TB)).astype(jnp.int32)
-        d = d_disp[b]
+        d = t1[b]
         s = (h + jnp.maximum(d, 0)) & (T - 1)
-        e = d_tab64[s]
+        e = t2[s]
         hit = (e >> 32).astype(jnp.int32) == c
         return jnp.where(hit, ((e & 15) + 1).astype(jnp.int32), 0)
 
+    zero = jax.device_put(np.zeros(8, np.int32))
     mbp = N_TILES * TILE_BASES / 1e6
-    for name, body in (("dense32 4GiB", body_dense32),
-                       ("dense8 1GiB", body_dense8),
-                       ("chd 2MiB+32MiB 2-gather", body_chd)):
+    for name, body, t1, t2 in (
+            ("dense8 1GiB", body_dense8, d_t8, zero),
+            ("chd 2MiB+32MiB 2-gather", body_chd, d_disp, d_tab64),
+            ("dense32 4GiB", body_dense32, table32, zero)):
         fn = mk_step(body)
-        dt, out = _time(fn, (ws, vs, st), name)
+        dt, out = _time(fn, (ws, vs, st, t1, t2), name)
         print(f"{name}: {mbp/dt:.1f} Mbp/s ({dt*1e3:.0f} ms/batch) chk={out}",
               flush=True)
 

@@ -106,20 +106,36 @@ def make_library(rng, n_fam, fam_len, ltr_frac=0.0, peps=None):
     return lib
 
 
-def make_chrom(rng, shared_lib, sg_lib):
-    """60% shared repeats + 30% SG repeats + 5% unique, 0.3% point mutation."""
+def make_set_plan(rng):
+    """Shared segment plan for one homoeologous set: homoeologs are
+    COLINEAR diverged copies of the same ancestor arrangement (like real
+    subgenomes), so the blocks stage has genuine synteny to find — segment
+    kinds, shared-family ids, and the ancestral unique segments are drawn
+    once per set and reused for every subgenome's chromosome."""
     n_seg = CHROM // SEG
     kinds = rng.random(n_seg)
-    fam_shared = rng.integers(0, shared_lib.shape[0], n_seg)
+    fam_shared = rng.integers(0, 120, n_seg)
+    uniq_mask = kinds >= 0.95
+    uniq = rng.integers(0, 4, (int(uniq_mask.sum()), SEG), dtype=np.uint8)
+    return kinds, fam_shared, uniq
+
+
+def make_chrom(rng, shared_lib, sg_lib, plan):
+    """60% shared repeats + 30% SG repeats + 5% unique, 0.3% point mutation.
+
+    ``plan`` fixes the ancestral arrangement across the set's subgenomes;
+    only the SG-specific family CHOICE and the point mutations differ, so
+    homoeologs are ~99%-arrangement-colinear with SG-specific islands."""
+    kinds, fam_shared, uniq = plan
+    n_seg = kinds.size
     fam_sg = rng.integers(0, sg_lib.shape[0], n_seg)
     parts = np.empty((n_seg, SEG), dtype=np.uint8)
     shared_mask = kinds < 0.62
     sg_mask = (kinds >= 0.62) & (kinds < 0.95)
     uniq_mask = kinds >= 0.95
-    parts[shared_mask] = shared_lib[fam_shared[shared_mask]]
+    parts[shared_mask] = shared_lib[fam_shared[shared_mask] % shared_lib.shape[0]]
     parts[sg_mask] = sg_lib[fam_sg[sg_mask]]
-    n_u = int(uniq_mask.sum())
-    parts[uniq_mask] = rng.integers(0, 4, (n_u, SEG), dtype=np.uint8)
+    parts[uniq_mask] = uniq
     chrom = parts.reshape(-1)
     # 0.3% point mutations: draw only the ~0.003*n mutated POSITIONS
     # instead of two full-length RNG arrays (the full-length draws were
@@ -169,8 +185,11 @@ def main():
           else f"{OUT}/chrom1.fa")
     with open(fa, "wb") as f:
         for i in range(SET_LO, (SET_LO + 1 if ONE else SET_HI + 1)):
+            # per-set ancestral arrangement, deterministic by SET index so
+            # --sets range generation still produces identical genomes
+            plan = make_set_plan(np.random.default_rng(5000 + i))
             for sg in (SGS[:1] if ONE else SGS):
-                chrom = make_chrom(rng, shared_lib, sg_libs[sg])
+                chrom = make_chrom(rng, shared_lib, sg_libs[sg], plan)
                 a = LUT[chrom]
                 for _ in range(20):
                     p = int(rng.integers(0, chrom.size - 600))
