@@ -470,19 +470,12 @@ class Pipeline:
         return genome, genome.names
 
     def _map_use_dense(self, sig=None) -> bool:
-        # membership via dense 4^k table only pays off when the genome is
-        # large enough to amortize building it (4 GB at k=15); the
-        # composite table value ((idx+1) << SG_BITS | sg) caps the sig
-        # count at 2^(31-SG_BITS)-2 and n_sg at 2^SG_BITS — beyond that
-        # the searchsorted path takes over
-        from subphaser_tpu.ops.mapbins_dense import SG_BITS
-
-        if len(self.sg_names) > (1 << SG_BITS):
+        # membership via dense 4^k int8 table only pays off when the
+        # genome is large enough to amortize building it (1 GiB at k=15);
+        # the sg+1 int8 value caps n_sg at 126 — beyond that the
+        # searchsorted path takes over
+        if len(self.sg_names) > 126:
             return False
-        if sig is not None:
-            m_padded = 1 << max(len(sig) - 1, 1).bit_length()
-            if m_padded + 1 >= (1 << (31 - SG_BITS)):
-                return False
         return self.genome.total_bases() >= 50_000_000
 
     def _map_batch(self) -> int:
@@ -570,8 +563,12 @@ class Pipeline:
         sig_digest = _hashlib.sha256(
             np.asarray(sig.codes).tobytes() + np.asarray(sig.sg).tobytes()
         ).hexdigest()[:16]
+        # fmt 8: the dense path's distinct-hit payload stores hit CODES
+        # (int8 sg table); the searchsorted path stores sig indices —
+        # old/mismatched checkpoints must not resume
         map_params = {"k": self.k, "bin": BIN_SIZE, "nsg": n_sg,
-                      "tile": self.tile_bases, "sig": sig_digest}
+                      "tile": self.tile_bases, "sig": sig_digest,
+                      "fmt": 8 if use_dense else 1}
         labels = self.chrom_labels
         # multi-process: each rank maps only the chromosomes it owns and
         # the per-chromosome (bins, hits) payloads are exchanged afterwards

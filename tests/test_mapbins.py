@@ -151,7 +151,9 @@ def test_map_tiles_batch_dense_batched_matches_single():
     )
     np.testing.assert_array_equal(bcs_b, np.asarray(bcs_s))
     hs = np.asarray(hm_s)
-    np.testing.assert_array_equal(got_hits, hs[hs != SENTINEL])
+    # dense stores hit CODES (int8 sg table, round 4); searchsorted stores
+    # sig INDICES — code <-> index is a bijection through the sorted codes
+    np.testing.assert_array_equal(got_hits, codes[hs[hs != SENTINEL]])
 
 
 def test_colsum_bins_match_contiguous():

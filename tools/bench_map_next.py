@@ -409,16 +409,26 @@ def bench_mph():
     dropped = int((placed_slot < 0).sum())
     print(f"chd build: {time.time()-t0:.1f}s, {m-dropped}/{m} placed, "
           f"{dropped} dropped (h2 collisions)", flush=True)
-    tab64 = np.zeros(T, np.int64)
+    # (T, 2) int32 rows [code, composite]: jax downcasts int64 device
+    # arrays without x64, losing the stored code (the first run's chk=0)
+    tab2 = np.zeros((T, 2), np.int32)
     ok = placed_slot >= 0
-    tab64[placed_slot[ok]] = val64[ok]
+    tab2[placed_slot[ok], 0] = sig_codes[ok]
+    tab2[placed_slot[ok], 1] = comp[ok].astype(np.int32)
+    tab2[:, 0] = np.where(tab2[:, 1] == 0, -1, tab2[:, 0])  # empty != code 0
     d_disp = jax.device_put(disp)
-    d_tab64 = jax.device_put(tab64)
+    d_tab64 = jax.device_put(tab2)
 
     # ---- int8 dense
     t8 = np.zeros(1 << (2 * K), np.int8)
     t8[sig_codes] = (sig_sg + 1).astype(np.int8)
     d_t8 = jax.device_put(t8)
+    # ---- 4-bit packed dense (512 MiB): 8 entries per int32 word
+    t4 = np.zeros(1 << (2 * K - 3), np.uint32)
+    w_idx = sig_codes >> 3
+    sh = (sig_codes & 7) * 4
+    np.bitwise_or.at(t4, w_idx, ((sig_sg + 1).astype(np.uint32)) << sh)
+    d_t4 = jax.device_put(t4.astype(np.int32))
 
     def mk_step(body):
         # tables enter as ARGS (t1, t2): a closure over a device array
@@ -452,13 +462,19 @@ def bench_mph():
         h = ((cu_ * jnp.uint32(0x85EBCA77)) >> jnp.uint32(32 - TB)).astype(jnp.int32)
         d = t1[b]
         s = (h + jnp.maximum(d, 0)) & (T - 1)
-        e = t2[s]
-        hit = (e >> 32).astype(jnp.int32) == c
-        return jnp.where(hit, ((e & 15) + 1).astype(jnp.int32), 0)
+        e = t2[s]  # (n, 2) rows
+        hit = e[:, 0] == c
+        return jnp.where(hit, (e[:, 1] & 15) + 1, 0)
+
+    def body_dense4(c, t1, _t2):
+        w = t1[c >> 3]
+        sh = (c & 7) * 4
+        return (w >> sh) & 15
 
     zero = jax.device_put(np.zeros(8, np.int32))
     mbp = N_TILES * TILE_BASES / 1e6
     for name, body, t1, t2 in (
+            ("dense4 512MiB packed", body_dense4, d_t4, zero),
             ("dense8 1GiB", body_dense8, d_t8, zero),
             ("chd 2MiB+32MiB 2-gather", body_chd, d_disp, d_tab64),
             ("dense32 4GiB", body_dense32, table32, zero)):
