@@ -48,6 +48,14 @@ for _j, _b in enumerate("TCAG"):
     _BASE_LUT[ord(_b.lower())] = _j
 _BASE_LUT[ord("U")] = _BASE_LUT[ord("u")] = 0
 _AA_LUT = np.frombuffer(_AA.encode(), np.uint8)
+# codon code -> AMINO index (-1 = stop), for string-free translation
+_CODON_IDX_LUT = np.array(
+    [_AA_IDX.get(a, -1) for a in _AA], dtype=np.int16
+)
+# base-complement LUT on the 0..3 codes (TCAG order: T<->A, C<->G);
+# ambiguous stays 255
+_COMP_CODE = np.full(256, 255, np.uint8)
+_COMP_CODE[:4] = [2, 3, 0, 1]
 
 
 def translate(seq: str) -> str:
@@ -73,6 +81,41 @@ def six_frames(seq: str) -> list[tuple[str, int, str]]:
     for f in range(3):
         out.append((translate(seq[f:]), f, "+"))
         out.append((translate(rc[f:]), f, "-"))
+    return out
+
+
+def six_frame_jobs(seq: str):
+    """String-free six-frame translation for the classifier hot loop.
+
+    Returns [(idx int32 residue indices, pos_map, aa_ascii uint8, strand)]
+    — the per-element prep cost rivalled the device Viterbi at wheat scale
+    (~374 elements/s host-side), mostly in encode/decode round trips and
+    the double LUT pass of translate()+aa re-indexing. One byte pass per
+    frame: codon code -> AMINO index directly (_CODON_IDX_LUT); the ASCII
+    peptide is materialized lazily per frame only for domain excision of
+    HITS (rare next to jobs).
+    """
+    b = _BASE_LUT[np.frombuffer(seq.upper().encode(), np.uint8)]
+    rb = _COMP_CODE[b][::-1]
+    out = []
+    for src, strand in ((b, "+"), (rb, "-")):
+        for f in range(3):
+            s = src[f:]
+            n = s.size // 3
+            if n == 0:
+                out.append((np.zeros(0, np.int32), np.zeros(0, np.int64),
+                            s[:0], strand))
+                continue
+            cod = s[: n * 3].reshape(n, 3)
+            ok = (cod < 4).all(axis=1)
+            code = (cod[:, 0].astype(np.int32) * 16 + cod[:, 1] * 4
+                    + cod[:, 2])
+            idx = np.where(ok, _CODON_IDX_LUT[np.where(ok, code, 0)],
+                           np.int16(-1))
+            pos_map = np.flatnonzero(idx >= 0)
+            aa = np.where(ok, _AA_LUT[np.where(ok, code, 0)],
+                          np.uint8(ord("X")))
+            out.append((idx[pos_map].astype(np.int32), pos_map, aa, strand))
     return out
 
 
@@ -361,14 +404,22 @@ class ProfileStack:
         valid counts -> ((B, P) scores, (B, P) end positions). One device
         dispatch for the whole batch (same kernel as scores_pos, vmapped).
         """
+        out, pos = self.scores_pos_many_async(idx_batch, n_valid)
+        return np.asarray(out), np.asarray(pos)
+
+    def scores_pos_many_async(
+        self, idx_batch: np.ndarray, n_valid: np.ndarray
+    ):
+        """scores_pos_many returning DEVICE arrays without blocking — the
+        classifier queues every batch before collecting so device compute
+        overlaps host-side packing (jax async dispatch)."""
         global _viterbi_vmap_fn
         if _viterbi_vmap_fn is None:
             _viterbi_vmap_fn = _viterbi_scan_vmap()
-        out, pos = _viterbi_vmap_fn(
+        return _viterbi_vmap_fn(
             idx_batch, n_valid.astype(np.int32), self.ms, self.tmm, self.tmi,
             self.tim, self.tii, self.tdm, self.tmd_shift, self.s_shift,
         )
-        return np.asarray(out), np.asarray(pos)
 
 
 # ---------------------------------------------------------------------------
@@ -555,12 +606,6 @@ def classify_elements(
                 "Classifier null calibration: threshold %.1f nats @1kaa, "
                 "%.1f @4kaa", thresh_fn(1000), thresh_fn(4000),
             )
-    # residue -> index LUT (the per-char dict loop cost minutes at 1M+
-    # elements; ambiguous residues map to -1 and are filtered out)
-    aa_lut = np.full(256, -1, np.int16)
-    for a, i in _AA_IDX.items():
-        aa_lut[ord(a)] = i
-
     out: dict[str, Classification] = {}
     # chunk elements (bounds host memory for the translated frames), then
     # score all (element, frame) jobs of a chunk in fixed-size device
@@ -582,19 +627,20 @@ def classify_elements(
                 "Classified %d/%d elements (%.0f/s, ETA %.0f min)",
                 clo, n_total, rate, (n_total - clo) / max(rate, 1e-9) / 60,
             )
-        jobs = []  # (local ei, strand, prot, pos_map, idx)
+        jobs = []  # (local ei, strand, aa_ascii, pos_map, idx)
         for ei, (eid, seq) in enumerate(chunk):
-            for prot, _f, strand in six_frames(seq):
-                raw = aa_lut[np.frombuffer(prot.encode(), np.uint8)]
-                pos_map = np.flatnonzero(raw >= 0)
-                jobs.append((ei, strand, prot, pos_map,
-                             raw[pos_map].astype(np.int32)))
+            for idx, pos_map, aa, strand in six_frame_jobs(seq):
+                jobs.append((ei, strand, aa, pos_map, idx))
         buckets: dict[int, list[int]] = {}
         for j, job in enumerate(jobs):
             l = max(1 << max(job[4].size - 1, 1).bit_length(), 64)
             buckets.setdefault(l, []).append(j)
         j_scores: list = [None] * len(jobs)
         j_ends: list = [None] * len(jobs)
+        # two-phase dispatch/collect: jax dispatch is async, so queuing
+        # every batch before the first np.asarray lets the device work
+        # overlap the host-side packing of later batches
+        pending = []
         for l, idxs in sorted(buckets.items()):
             for blo in range(0, len(idxs), BATCH):
                 sel = idxs[blo : blo + BATCH]
@@ -607,10 +653,13 @@ def classify_elements(
                     v = jobs[j][4]
                     arr[r, : v.size] = v
                     nv[r] = v.size
-                s, e = stack.scores_pos_many(arr, nv)
-                for r, j in enumerate(sel):
-                    j_scores[j] = s[r]
-                    j_ends[j] = e[r]
+                s, e = stack.scores_pos_many_async(arr, nv)
+                pending.append((sel, s, e))
+        for sel, s, e in pending:
+            s, e = np.asarray(s), np.asarray(e)
+            for r, j in enumerate(sel):
+                j_scores[j] = s[r]
+                j_ends[j] = e[r]
         per_el_hits: list[list] = [[] for _ in chunk]
         for j, (ei, strand, prot, pos_map, idx) in enumerate(jobs):
             scores, ends = j_scores[j], j_ends[j]
@@ -632,7 +681,9 @@ def classify_elements(
                     # from the end covers the aligned region)
                     e = min(int(ends[pi]), idx.size - 1)
                     lo = max(0, e - int(1.2 * profiles[pi].length))
-                    pep = prot[int(pos_map[lo]) : int(pos_map[e]) + 1]
+                    pep = prot[
+                        int(pos_map[lo]) : int(pos_map[e]) + 1
+                    ].tobytes().decode()
                 per_el_hits[ei].append(
                     (float(scores[pi]), strand, o, sf, cl, dom, pep)
                 )

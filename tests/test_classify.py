@@ -551,3 +551,30 @@ def test_batched_bottom_s_shared_parity():
         want = int(((a[ia] == m) & (b[ib] == m)).sum())
         assert int(shared_v[i]) == want, (i, int(shared_v[i]), want)
         assert int(s_v[i]) == s
+
+
+def test_six_frame_jobs_parity():
+    """The string-free hot-loop translation must reproduce six_frames +
+    aa-LUT indexing exactly (indices, position maps, ASCII peptides)."""
+    from subphaser_tpu.ltr.classify import six_frame_jobs, six_frames
+
+    rng = np.random.default_rng(3)
+    aa_lut = np.full(256, -1, np.int16)
+    for a, i in {a: i for i, a in enumerate(AMINO)}.items():
+        aa_lut[ord(a)] = i
+    for n in (1, 2, 3, 300, 2000, 4001):
+        seq = "".join(rng.choice(list("ACGTN"), size=n,
+                                 p=[.24, .24, .24, .24, .04]))
+        jobs = six_frame_jobs(seq)
+        refmap = {}
+        order = [(0, "+"), (0, "-"), (1, "+"), (1, "-"), (2, "+"), (2, "-")]
+        for (prot, _f, strand), (f, st) in zip(six_frames(seq), order):
+            raw = aa_lut[np.frombuffer(prot.encode(), np.uint8)]
+            pm = np.flatnonzero(raw >= 0)
+            refmap[(st, f)] = (raw[pm].astype(np.int32), pm, prot)
+        jorder = [("+", 0), ("+", 1), ("+", 2), ("-", 0), ("-", 1), ("-", 2)]
+        for (idx, pm, aa, strand), (st, f) in zip(jobs, jorder):
+            r_idx, r_pm, r_prot = refmap[(st, f)]
+            assert np.array_equal(idx, r_idx), (st, f, n)
+            assert np.array_equal(pm, r_pm), (st, f, n)
+            assert aa.tobytes().decode() == r_prot, (st, f, n)
