@@ -314,8 +314,52 @@ def _viterbi_scan_batch():
     return run
 
 
+def _ssv_scan_batch():
+    """Ungapped local (SSV) scan: max over all diagonal runs of summed
+    match log-odds — HMMER3's own acceleration pipeline runs exactly this
+    shape of filter (MSV/SSV) before Viterbi; here it prunes (element,
+    frame) jobs so the full Viterbi only scores survivors. ~4x less work
+    per step than the Viterbi scan (no I/D states, no end tracking)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(seq_idx, n_valid, ms):
+        p, m, _ = ms.shape
+
+        def step(carry, xi):
+            prev, best = carry
+            x, valid = xi
+            emit = ms[:, :, x]  # (P, M)
+            ext = jnp.concatenate(
+                [jnp.zeros((p, 1), prev.dtype), prev[:, :-1]], axis=1
+            )
+            cur = jnp.maximum(ext, 0.0) + emit
+            nb = jnp.maximum(best, jnp.max(cur, axis=1))
+            out = jax.tree.map(
+                lambda n_, o: jnp.where(valid, n_, o), (cur, nb), (prev, best)
+            )
+            return out, None
+
+        init = (jnp.full((p, m), _NEG, jnp.float32), jnp.zeros(p, jnp.float32))
+        l = seq_idx.shape[0]
+        valid = jnp.arange(l) < n_valid
+        (_cur, best), _ = jax.lax.scan(step, init, (seq_idx, valid), unroll=8)
+        return best
+
+    return run
+
+
 _viterbi_batch_fn = None
 _viterbi_vmap_fn = None
+_ssv_vmap_fn = None
+
+
+def _ssv_scan_vmap():
+    import jax
+
+    base = _ssv_scan_batch()
+    return jax.jit(jax.vmap(base, in_axes=(0, 0, None)))
 
 
 def _viterbi_scan_vmap():
@@ -421,6 +465,13 @@ class ProfileStack:
             self.tim, self.tii, self.tdm, self.tmd_shift, self.s_shift,
         )
 
+    def ssv_scores_many_async(self, idx_batch: np.ndarray, n_valid: np.ndarray):
+        """(B,) -> (B, P) ungapped SSV filter scores, device arrays."""
+        global _ssv_vmap_fn
+        if _ssv_vmap_fn is None:
+            _ssv_vmap_fn = _ssv_scan_vmap()
+        return _ssv_vmap_fn(idx_batch, n_valid.astype(np.int32), self.ms)
+
 
 # ---------------------------------------------------------------------------
 # classification
@@ -516,6 +567,7 @@ def calibrate_evalue_model(
     L0: int = 1024,
     n_samples: int = 24,
     seed: int = 0,
+    kind: str = "viterbi",
 ) -> "EvalueModel":
     """Per-profile Karlin-Altschul/Gumbel E-value calibration.
 
@@ -538,7 +590,12 @@ def calibrate_evalue_model(
     # the "null" samples then contain the planted peptides verbatim
     rng = np.random.default_rng([seed, 0xE7A1])
     idxs = rng.integers(0, 20, size=(n_samples, L0)).astype(np.int32)
-    samples = np.stack([stack.scores_pos(row, pad_to=L0)[0] for row in idxs])
+    if kind == "ssv":
+        samples = np.asarray(stack.ssv_scores_many_async(
+            idxs.astype(np.int8), np.full(n_samples, L0, np.int32)))
+    else:
+        samples = np.stack(
+            [stack.scores_pos(row, pad_to=L0)[0] for row in idxs])
     mean = samples.mean(axis=0)
     sd = samples.std(axis=0) + 1e-9
     lam = (math.pi / math.sqrt(6.0)) / sd
@@ -564,11 +621,19 @@ class EvalueModel:
         ) / self.lam
 
 
+# SSV prefilter P-value gate: HMMER3's MSV filter passes P <= 0.02; jobs
+# with no profile reaching this ungapped significance skip the Viterbi.
+_SSV_P = 0.02
+# deterministic pass-1 work counters (reset per classify_elements call)
+PASS1_STATS = {"jobs": 0, "viterbi_jobs": 0}
+
+
 def classify_elements(
     elements: list[tuple[str, str]],
     db_path: str,
     min_score: float | None = None,
     max_evalue: float | None = 1e-3,
+    prefilter: bool = True,
 ) -> dict[str, Classification]:
     """elements: (id, inner_dna_seq). Returns id -> Classification.
 
@@ -587,13 +652,17 @@ def classify_elements(
     profiles = load_hmm_db(db_path)
     stack = ProfileStack(profiles)
     meta = [parse_rexdb_name(p.name) for p in profiles]
+    PASS1_STATS["jobs"] = PASS1_STATS["viterbi_jobs"] = 0
     thresh_fn = None
     ev_model = None
+    ssv_model = None
     if min_score is None:
         from subphaser_tpu.utils.log import logger
 
         if max_evalue is not None:
             ev_model = calibrate_evalue_model(stack)
+            if prefilter:
+                ssv_model = calibrate_evalue_model(stack, kind="ssv")
             f1k = ev_model.score_floor(max_evalue, 1000)
             logger.info(
                 "Classifier E-value calibration: E<=%g floors %.1f-%.1f "
@@ -631,28 +700,61 @@ def classify_elements(
         for ei, (eid, seq) in enumerate(chunk):
             for idx, pos_map, aa, strand in six_frame_jobs(seq):
                 jobs.append((ei, strand, aa, pos_map, idx))
-        buckets: dict[int, list[int]] = {}
-        for j, job in enumerate(jobs):
-            l = max(1 << max(job[4].size - 1, 1).bit_length(), 64)
-            buckets.setdefault(l, []).append(j)
+
+        def bucketize(job_ids):
+            buckets: dict[int, list[int]] = {}
+            for j in job_ids:
+                l = max(1 << max(jobs[j][4].size - 1, 1).bit_length(), 64)
+                buckets.setdefault(l, []).append(j)
+            return buckets
+
+        def pack(sel, l):
+            # int8 residues (values 0..19): 4x smaller uploads — the
+            # 8 MB/batch int32 upload rivaled the batch's device time
+            # through the remote tunnel
+            arr = np.zeros((BATCH, l), np.int8)
+            nv = np.zeros(BATCH, np.int32)
+            for r, j in enumerate(sel):
+                v = jobs[j][4]
+                arr[r, : v.size] = v
+                nv[r] = v.size
+            return arr, nv
+
+        live = list(range(len(jobs)))
+        if ssv_model is not None:
+            # SSV prefilter (HMMER3's own MSV/SSV acceleration shape): an
+            # ungapped diagonal scan ~4x cheaper than Viterbi prunes jobs
+            # whose best SSV hit is not even P <= SSV_P significant for any
+            # profile; the full Viterbi scores only the survivors, and the
+            # final decision gate (E <= max_evalue) is unchanged for them.
+            ssv_pending = []
+            for l, idxs in sorted(bucketize(live).items()):
+                for blo in range(0, len(idxs), BATCH):
+                    sel = idxs[blo : blo + BATCH]
+                    arr, nv = pack(sel, l)
+                    ssv_pending.append(
+                        (sel, stack.ssv_scores_many_async(arr, nv)))
+            live = []
+            for sel, sv in ssv_pending:
+                sv = np.asarray(sv)
+                for r, j in enumerate(sel):
+                    L = max(jobs[j][4].size, 2)
+                    floor_v = ssv_model.score_floor(_SSV_P, L)
+                    if (sv[r] >= floor_v).any():
+                        live.append(j)
+            PASS1_STATS["jobs"] += len(jobs)
+            PASS1_STATS["viterbi_jobs"] += len(live)
+
         j_scores: list = [None] * len(jobs)
         j_ends: list = [None] * len(jobs)
         # two-phase dispatch/collect: jax dispatch is async, so queuing
         # every batch before the first np.asarray lets the device work
         # overlap the host-side packing of later batches
         pending = []
-        for l, idxs in sorted(buckets.items()):
+        for l, idxs in sorted(bucketize(live).items()):
             for blo in range(0, len(idxs), BATCH):
                 sel = idxs[blo : blo + BATCH]
-                # int8 residues (values 0..19): 4x smaller uploads — the
-                # 8 MB/batch int32 upload rivaled the batch's device time
-                # through the remote tunnel
-                arr = np.zeros((BATCH, l), np.int8)
-                nv = np.zeros(BATCH, np.int32)
-                for r, j in enumerate(sel):
-                    v = jobs[j][4]
-                    arr[r, : v.size] = v
-                    nv[r] = v.size
+                arr, nv = pack(sel, l)
                 s, e = stack.scores_pos_many_async(arr, nv)
                 pending.append((sel, s, e))
         for sel, s, e in pending:
@@ -663,6 +765,8 @@ def classify_elements(
         per_el_hits: list[list] = [[] for _ in chunk]
         for j, (ei, strand, prot, pos_map, idx) in enumerate(jobs):
             scores, ends = j_scores[j], j_ends[j]
+            if scores is None:
+                continue  # pruned by the SSV prefilter
             if min_score is not None:
                 floor = min_score
             elif ev_model is not None:

@@ -578,3 +578,34 @@ def test_six_frame_jobs_parity():
             assert np.array_equal(idx, r_idx), (st, f, n)
             assert np.array_equal(pm, r_pm), (st, f, n)
             assert aa.tobytes().decode() == r_prot, (st, f, n)
+
+
+def test_ssv_prefilter_decision_parity(hmm_db):
+    """The SSV prefilter must not change classify_elements decisions on a
+    mixed batch (strong hits, mutated hits, junk): it only skips Viterbi
+    for jobs with no ungapped P<=0.02 signal for any profile."""
+    from subphaser_tpu.ltr.classify import PASS1_STATS
+
+    path, peptides = hmm_db
+    rng = np.random.default_rng(9)
+    els = []
+    for i in range(6):
+        pep = list(peptides["RT"])
+        nm = int(len(pep) * 0.25 * rng.random())
+        for j in rng.choice(len(pep), size=nm, replace=False):
+            pep[j] = AMINO[int(rng.integers(0, 20))]
+        filler = "".join(rng.choice(list("ACGT"), size=400))
+        els.append((f"m{i}", filler + reverse_translate("".join(pep)) + filler))
+    for i in range(6):
+        els.append((f"j{i}", "".join(rng.choice(list("ACGT"), size=1200))))
+
+    d_on = classify_elements(els, path, prefilter=True)
+    n_viterbi = PASS1_STATS["viterbi_jobs"]
+    n_jobs = PASS1_STATS["jobs"]
+    d_off = classify_elements(els, path, prefilter=False)
+    for eid, _ in els:
+        a, b = d_on[eid], d_off[eid]
+        assert (a.order, a.superfamily, a.clade, a.strand) == \
+               (b.order, b.superfamily, b.clade, b.strand), eid
+    # the filter actually pruned something (junk elements dominate)
+    assert 0 < n_viterbi < n_jobs, (n_viterbi, n_jobs)
