@@ -1,4 +1,5 @@
-"""Sort-based counting for pair codes (k in [16, 30]).
+"""Sort-based counting for pair codes (k in [16, 31]; hi-only pad
+tests are exact for canonical codes even at k = 31 — see ops/kmer_pair).
 
 Mirror of ops/count.py with (hi, lo) int32 key pairs: lax.sort with
 num_keys=2, run boundaries on both words, host combine to int64.

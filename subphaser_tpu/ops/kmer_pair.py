@@ -1,6 +1,6 @@
-"""Canonical k-mer codes for k in [16, 30]: (hi, lo) int32 pair representation.
+"""Canonical k-mer codes for k in [16, 31]: (hi, lo) int32 pair representation.
 
-JAX runs with x64 disabled, so 2k-bit codes (up to 60 bits) are carried as
+JAX runs with x64 disabled, so 2k-bit codes (up to 62 bits) are carried as
 two int32 words on device: ``lo`` = bits [0, 31), ``hi`` = bits [31, 2k).
 Hosts combine them into true int64 (``hi << 31 | lo``), so everything
 host-side (merges, matrices, matching, k-mer strings) reuses the int64 path.
@@ -10,8 +10,18 @@ three packed words; the little-endian window value gives the reverse
 complement by complement alone and the forward code by one 2-bit-group
 reversal (see ops/kmer.py docstring for the identity).
 
-k = 31 is excluded: its hi part would need 31 value bits and collide with
-the SENTINEL.
+k = 31 and the SENTINEL: at k = 31 the hi part holds 31 value bits, so
+hi == SENTINEL (= 2^31 - 1) is representable. For CANONICAL codes it can
+never occur: hi all-ones requires the first 15 bases T and base 16 in
+{G, T}; canonicity (code <= rc) then forces rc to open with the same T-run,
+which pins the last 15 bases to A and position 16 of rc to the COMPLEMENT
+of base 16 — complement(G/T) = C/A < G/T, contradiction. Counting's
+hi-only pad tests therefore stay exact at k = 31. FORWARD codes (mapping)
+can reach hi == SENTINEL legitimately, so the pair-code mapping path tests
+the (hi, lo) PAIR against (SENTINEL, SENTINEL); only a position whose
+forward 31-mer is exactly T^31 is then indistinguishable from padding and
+is skipped (documented deviation — poly-T 31-mers are never
+subgenome-specific).
 """
 
 from __future__ import annotations
@@ -26,8 +36,8 @@ from subphaser_tpu.ops.kmer import BASES_PER_WORD, SENTINEL, _reverse2bits32
 
 
 def _codes_pair(words, vwords, k: int, n_pos_words: int, canonical: bool):
-    if not 16 <= k <= 30:
-        raise ValueError("pair codes support k in [16, 30]")
+    if not 16 <= k <= 31:
+        raise ValueError("pair codes support k in [16, 31]")
     w = words.astype(jnp.uint32)
     v = vwords.astype(jnp.uint32)
     w0 = w[:n_pos_words]

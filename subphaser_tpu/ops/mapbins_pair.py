@@ -1,4 +1,4 @@
-"""Significant-k-mer bin mapping for pair codes (k in [16, 30]).
+"""Significant-k-mer bin mapping for pair codes (k in [16, 31]).
 
 Membership testing against the sorted significant-code table uses a
 two-level search: binary search on the hi words, then a statically-unrolled
@@ -52,7 +52,11 @@ def map_tile_bins_pair(
             (base + j < m)
             & (sig_hi[idx] == fhi)
             & (sig_lo[idx] == flo)
-            & (fhi != SENTINEL)
+            # pad = (SENTINEL, SENTINEL) PAIR: at k = 31 forward codes can
+            # legitimately carry hi == SENTINEL (T^15[G/T]-prefixed
+            # windows); only exact T^31 windows alias the pad (see
+            # ops/kmer_pair docstring)
+            & ((fhi != SENTINEL) | (flo != SENTINEL))
         )
         sg = jnp.where(ok & ~hit, sig_sg[idx], sg)
         midx = jnp.where(ok & ~hit, idx.astype(jnp.int32), midx)

@@ -222,10 +222,10 @@ class Pipeline:
                 if f.endswith((".ok.json", ".ok.npz")):
                     os.remove(os.path.join(self.tmpdir, f))
 
-        if not 1 <= self.k <= 30:
+        if not 1 <= self.k <= 31:
             raise ValueError(
                 f"k={self.k} unsupported: codes are int32 for k <= 15 and "
-                "(hi, lo) int32 pairs for 16 <= k <= 30"
+                "(hi, lo) int32 pairs for 16 <= k <= 31"
             )
         logger.info("Target chromosomes: %s", self.chrs)
         genome, labels = self._load_genome()

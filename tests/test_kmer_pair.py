@@ -22,7 +22,7 @@ def flat64(hi, lo, n):
     return h, l
 
 
-@pytest.mark.parametrize("k", [16, 17, 21, 27, 30])
+@pytest.mark.parametrize("k", [16, 17, 21, 27, 30, 31])
 def test_pair_codes_oracle(k):
     rng = np.random.default_rng(k)
     seq = random_seq(rng, 800, n_frac=0.03)
@@ -50,3 +50,29 @@ def test_combine_split_roundtrip():
     codes = rng.integers(0, 1 << 60, size=1000).astype(np.int64)
     hi, lo = split64(codes)
     np.testing.assert_array_equal(combine64(hi, lo), codes)
+
+
+def test_k31_polyt_canonical_never_sentinel_hi():
+    """k=31: canonical codes keep hi < SENTINEL even across poly-T runs
+    (the canonicity argument in ops/kmer_pair's docstring), so counting's
+    hi-only pad tests stay exact."""
+    from subphaser_tpu.ops.kmer import SENTINEL
+
+    k = 31
+    rng = np.random.default_rng(5)
+    seq = ("T" * 60 + random_seq(rng, 200, n_frac=0.0) + "T" * 40
+           + "G" + "T" * 35 + random_seq(rng, 150, n_frac=0.0))
+    seq = seq + random_seq(rng, 512 - len(seq) + 64, n_frac=0.0)
+    g = PackedGenome.from_dict({"c": seq})
+    tile = next(g.tiles(k, tile_bases=512))
+    hi, lo = kmer_codes_pair(tile.words, tile.vwords, k, 512 // 16)
+    fh, fl = flat64(hi, lo, 512)
+    for i in range(512):
+        kmer = seq[i : i + k] if i + k <= len(seq) else ""
+        if len(kmer) == k and all(c in "ACGT" for c in kmer.upper()):
+            assert fh[i] != SENTINEL or fl[i] != SENTINEL, f"pos {i}"
+            expect = kmer_code(canonical(kmer))
+            got = (int(fh[i]) << 31) | int(fl[i])
+            assert got == expect, f"pos {i}"
+            # the docstring's invariant: canonical hi is never all-ones
+            assert fh[i] != SENTINEL, f"canonical hi==SENTINEL at {i}"

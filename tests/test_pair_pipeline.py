@@ -1,4 +1,4 @@
-"""k in [16, 30] paths: pair counting + mapping oracles and a k=17 e2e run."""
+"""k in [16, 31] paths: pair counting + mapping oracles and a k=17 e2e run."""
 
 import numpy as np
 import pytest
@@ -10,7 +10,7 @@ from tests.oracle import count_canonical_kmers, map_kmers_to_bins, revcomp
 from tests.test_encoding import random_seq
 
 
-@pytest.mark.parametrize("k", [17, 23])
+@pytest.mark.parametrize("k", [17, 23, 31])
 def test_pair_counting_oracle(k):
     rng = np.random.default_rng(k)
     unit = random_seq(rng, 150)
@@ -116,3 +116,41 @@ def test_pair_accumulator_spill_path():
     oracle = count_canonical_kmers(seq, k, lower_count=3)
     got = dict(zip(codes_to_kmers(codes, k).tolist(), counts.tolist()))
     assert got == oracle
+
+
+def test_pair_mapping_oracle_k31_with_polyt():
+    """k=31 mapping: positions map correctly even with poly-T runs in the
+    genome (forward hi can equal SENTINEL; only exact T^31 windows are
+    skipped — the documented deviation in ops/kmer_pair)."""
+    k, bin_size, n_sg = 31, 128, 2
+    rng = np.random.default_rng(7)
+    seq = (random_seq(rng, 900, n_frac=0.0) + "T" * 50
+           + random_seq(rng, 1200, n_frac=0.0))
+    d_kmers = {}
+    for pos in range(0, 1800, 61):
+        kmer = seq[pos : pos + k]
+        # skip the poly-T 31-mer: positions whose FORWARD 31-mer is T^31
+        # alias the pad pair and are unmappable (documented deviation)
+        if "N" in kmer or len(kmer) < k or set(kmer) == {"T"}:
+            continue
+        sg = (pos // 700) % n_sg
+        d_kmers[kmer] = sg
+        d_kmers[revcomp(kmer)] = sg
+    # include a sig k-mer overlapping the poly-T run (hi == SENTINEL form)
+    kx = seq[890 : 890 + k]
+    d_kmers[kx] = 1
+    d_kmers[revcomp(kx)] = 1
+    codes = np.array(sorted(kmer_code(s) for s in d_kmers), dtype=np.int64)
+    sgs = np.array([d_kmers[s] for s in sorted(d_kmers, key=kmer_code)],
+                   dtype=np.int32)
+
+    from subphaser_tpu.ops.mapbins_pair import map_genome_bins_pair
+
+    g = PackedGenome.from_dict({"c": seq})
+    acc = map_genome_bins_pair(g, codes, sgs, k, 1024, bin_size, n_sg)
+    expected = map_kmers_to_bins(seq, d_kmers, k, bin_size, n_sg)
+    got = acc.per_chrom[0]
+    for b in range(got.shape[0]):
+        np.testing.assert_array_equal(
+            got[b], expected.get(b, [0] * n_sg), err_msg=f"bin {b}"
+        )
