@@ -84,9 +84,10 @@ def test_feature_pack_empty_and_short():
 def test_kmer_too_large_rejected(tmp_path):
     from subphaser_tpu.phase.pipeline import Pipeline
 
+    # k=31 became supported in round 4; the hard cap is now 32
     write_fasta(str(tmp_path / "g.fa"), [("c1", "ACGT" * 100)])
     (tmp_path / "c.cfg").write_text("c1\tc1\n")
     pipe = Pipeline([str(tmp_path / "g.fa")], [str(tmp_path / "c.cfg")],
-                    k=31, outdir=str(tmp_path / "o"), tmpdir=str(tmp_path / "t"))
-    with pytest.raises(ValueError, match="k=31 unsupported"):
+                    k=32, outdir=str(tmp_path / "o"), tmpdir=str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="k=32 unsupported"):
         pipe.run()
