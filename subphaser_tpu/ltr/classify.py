@@ -994,13 +994,17 @@ def classify_pass2(
     )
     n_transfer = 0
     max_cand = 64
-    for ui, (eid, seq) in enumerate(unclassified):
-        if ui and ui % 4096 == 0:
-            logger.info("Pass-2: %d/%d screened, %d transferred",
-                        ui, len(unclassified), n_transfer)
+
+    def _screen(item):
+        """One query against the classified index -> (eid, best_id|None,
+        n_pair_evals). Reads only structures frozen before the loop (plus
+        the c_full cache, whose benign compute-twice race stores identical
+        arrays), so queries thread cleanly; transfers apply afterwards in
+        input order — byte-identical to the serial loop."""
+        eid, seq = item
         sk = _sketch(seq, k=sketch_k, s=sketch_s)
         if sk.size == 0:
-            continue
+            return eid, None, 0
         # Rank candidates by how many of the query's 16 smallest hashes
         # they share and evaluate only the top ``max_cand``: repeat-family
         # genomes put thousands of elements in each LSH bucket, so
@@ -1023,7 +1027,6 @@ def classify_pass2(
             cand = [c_ids[i] for i in nz[order]]
         else:
             cand = []
-        PASS2_STATS["pair_evals"] += len(cand)
         best_id, best_ident = None, 0.0
         if cand:
             # bottom-s Jaccard on the union's s smallest hashes (Mash):
@@ -1052,14 +1055,36 @@ def classify_pass2(
                     c_full[best_id] = _sketch(c_seq[best_id], k=sketch_k,
                                               s=1 << 30)
                 if _window_coverage(seq, c_full[best_id], sketch_k) < min_coverage:
-                    continue
-            src = d_class[best_id]
-            d_class[eid] = Classification(
-                id=eid, order=src.order, superfamily=src.superfamily,
-                clade=src.clade, completed="no", strand="?",
-                domains=None, score=0.0,
-            )
-            n_transfer += 1
+                    return eid, None, len(cand)
+            return eid, best_id, len(cand)
+        return eid, None, len(cand)
+
+    # numpy releases the GIL for its kernels, so a small thread pool
+    # overlaps queries (pass-2 at wheat scale is otherwise a ~90 min
+    # serial host phase)
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = max(1, min(4, _os.cpu_count() or 1))
+    results = []
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        for res in ex.map(_screen, unclassified, chunksize=128):
+            results.append(res)
+            if len(results) % 4096 == 0:
+                logger.info("Pass-2: %d/%d screened, %d transferred",
+                            len(results), len(unclassified),
+                            sum(1 for _e, b, _n in results if b is not None))
+    for eid, best_id, evals in results:
+        PASS2_STATS["pair_evals"] += evals
+        if best_id is None:
+            continue
+        src = d_class[best_id]
+        d_class[eid] = Classification(
+            id=eid, order=src.order, superfamily=src.superfamily,
+            clade=src.clade, completed="no", strand="?",
+            domains=None, score=0.0,
+        )
+        n_transfer += 1
     if n_transfer:
         from subphaser_tpu.utils.log import logger
 
