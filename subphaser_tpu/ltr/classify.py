@@ -21,6 +21,7 @@ LTR pipeline falls back to using all detected LTRs (`-all_ltr` behavior).
 from __future__ import annotations
 
 import math
+import os
 import re
 from dataclasses import dataclass, field
 
@@ -628,12 +629,44 @@ _SSV_P = 0.02
 PASS1_STATS = {"jobs": 0, "viterbi_jobs": 0}
 
 
+def _load_ckpt_stream(path: str | None) -> dict:
+    """Load a pickle-stream checkpoint (one dict per record, appended).
+
+    Tolerates a truncated final record (process killed mid-write): reads
+    dicts until the first decode failure and returns what it has.
+    """
+    out: dict = {}
+    if not path or not os.path.exists(path):
+        return out
+    import pickle
+
+    with open(path, "rb") as f:
+        while True:
+            try:
+                out.update(pickle.load(f))
+            except EOFError:
+                break
+            except Exception:
+                break  # truncated tail from a killed writer
+    return out
+
+
+def _append_ckpt(path: str | None, record: dict) -> None:
+    if not path or not record:
+        return
+    import pickle
+
+    with open(path, "ab") as f:
+        pickle.dump(record, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
 def classify_elements(
     elements: list[tuple[str, str]],
     db_path: str,
     min_score: float | None = None,
     max_evalue: float | None = 1e-3,
     prefilter: bool = True,
+    checkpoint: str | None = None,
 ) -> dict[str, Classification]:
     """elements: (id, inner_dna_seq). Returns id -> Classification.
 
@@ -648,7 +681,21 @@ def classify_elements(
     it REPLACES the E-value gate (both reference and tests use this to
     pin decisions). ``max_evalue=None`` with ``min_score=None`` falls back
     to the round-2 calibrated mean+3sd threshold (calibrate_null_threshold).
+
+    ``checkpoint``: pickle-stream path; one record per scored chunk is
+    appended so a killed run (the axon relay's futex-hang mode) resumes at
+    chunk granularity instead of restarting the whole pass (wheat scale:
+    ~1.2M elements).
     """
+    done = _load_ckpt_stream(checkpoint)
+    if done:
+        from subphaser_tpu.utils.log import logger as _lg
+
+        elements = [e for e in elements if e[0] not in done]
+        _lg.info(
+            "Pass-1 checkpoint: resumed %d scored elements, %d remain",
+            len(done), len(elements),
+        )
     profiles = load_hmm_db(db_path)
     stack = ProfileStack(profiles)
     meta = [parse_rexdb_name(p.name) for p in profiles]
@@ -675,7 +722,7 @@ def classify_elements(
                 "Classifier null calibration: threshold %.1f nats @1kaa, "
                 "%.1f @4kaa", thresh_fn(1000), thresh_fn(4000),
             )
-    out: dict[str, Classification] = {}
+    out: dict[str, Classification] = dict(done)
     # chunk elements (bounds host memory for the translated frames), then
     # score all (element, frame) jobs of a chunk in fixed-size device
     # batches bucketed by padded length — one dispatch per batch instead
@@ -793,6 +840,7 @@ def classify_elements(
                 )
         for ei, (eid, _seq) in enumerate(chunk):
             _decide(out, eid, per_el_hits[ei])
+        _append_ckpt(checkpoint, {eid: out[eid] for eid, _s in chunk})
     return out
 
 
@@ -924,6 +972,7 @@ def classify_pass2(
     sketch_k: int = 13,
     sketch_s: int = 512,
     shard: tuple[int, int] | None = None,
+    checkpoint: str | None = None,
 ) -> dict[str, Classification]:
     """Pass-2: transfer classifications to unclassified elements by sequence
     similarity against the classified ones.
@@ -958,6 +1007,23 @@ def classify_pass2(
         # the caller exchanges the transferred entries
         rank, nproc = shard
         unclassified = unclassified[rank::nproc]
+    prev = _load_ckpt_stream(checkpoint)  # eid -> best_id|None (screened)
+    if prev:
+        unclassified = [e for e in unclassified if e[0] not in prev]
+        from subphaser_tpu.utils.log import logger as _lg
+
+        _lg.info(
+            "Pass-2 checkpoint: resumed %d screened queries, %d remain",
+            len(prev), len(unclassified),
+        )
+        for _eid, _best in prev.items():
+            if _best is not None and _best in d_class:
+                _src = d_class[_best]
+                d_class[_eid] = Classification(
+                    id=_eid, order=_src.order, superfamily=_src.superfamily,
+                    clade=_src.clade, completed="no", strand="?",
+                    domains=None, score=0.0,
+                )
     if not classified or not unclassified:
         return d_class
 
@@ -1067,6 +1133,7 @@ def classify_pass2(
 
     workers = max(1, min(4, _os.cpu_count() or 1))
     results = []
+    ckpt_mark = 0
     with ThreadPoolExecutor(max_workers=workers) as ex:
         for res in ex.map(_screen, unclassified, chunksize=128):
             results.append(res)
@@ -1074,6 +1141,10 @@ def classify_pass2(
                 logger.info("Pass-2: %d/%d screened, %d transferred",
                             len(results), len(unclassified),
                             sum(1 for _e, b, _n in results if b is not None))
+                _append_ckpt(checkpoint, {
+                    e: b for e, b, _n in results[ckpt_mark:]})
+                ckpt_mark = len(results)
+    _append_ckpt(checkpoint, {e: b for e, b, _n in results[ckpt_mark:]})
     for eid, best_id, evals in results:
         PASS2_STATS["pair_evals"] += evals
         if best_id is None:

@@ -122,7 +122,27 @@ class LTRPipeline:
         return ltrs_resolved, ltr_seqs
 
     def classify(self, ltrs, d_seqs) -> dict:
-        """TEsorter-equivalent classification; {} when no profile db."""
+        """TEsorter-equivalent classification; {} when no profile db.
+
+        Checkpointing (the wheat-scale classification phase runs for tens
+        of minutes and the axon relay can die mid-phase): the finished
+        result is pickled to ``.cls.pkl`` (full Classification objects incl.
+        domain peptides the trees need — the .cls.tsv drops those), and
+        both passes stream chunk-level partial checkpoints so a killed run
+        resumes mid-pass, not from the phase start.
+        """
+        import pickle
+
+        cls_pkl = self.int_seqs + ".cls.pkl"
+        if os.path.exists(cls_pkl) and not self.overwrite:
+            with open(cls_pkl, "rb") as f:
+                d_class = pickle.load(f)
+            self.d_class = d_class
+            logger.info(
+                "Loaded classification checkpoint %s (%d elements)",
+                cls_pkl, len(d_class),
+            )
+            return d_class
         with open(self.int_seqs, "w") as f:
             for ltr in ltrs:
                 f.write(f">{ltr.id}\n{ltr.get_int_seq(d_seqs[ltr.seq_id])}\n")
@@ -147,14 +167,18 @@ class LTRPipeline:
 
         nproc = _jax.process_count()
         rank = _jax.process_index()
+        p1_ckpt = self.int_seqs + f".cls.p1.r{rank}.ckpt"
+        p2_ckpt = self.int_seqs + f".cls.p2.r{rank}.ckpt"
+        if self.overwrite:
+            for p in (p1_ckpt, p2_ckpt):
+                if os.path.exists(p):
+                    os.remove(p)
         if nproc > 1:
-            import pickle
-
             from subphaser_tpu.parallel.distributed import exchange_blobs
 
             part = clsmod.classify_elements(
                 elements[rank::nproc], self.hmm_db,
-                max_evalue=self.max_evalue,
+                max_evalue=self.max_evalue, checkpoint=p1_ckpt,
             )
             merged = exchange_blobs({rank: pickle.dumps(part)}, nproc)
             d_class = {}
@@ -166,7 +190,8 @@ class LTRPipeline:
             )
         else:
             d_class = clsmod.classify_elements(
-                elements, self.hmm_db, max_evalue=self.max_evalue
+                elements, self.hmm_db, max_evalue=self.max_evalue,
+                checkpoint=p1_ckpt,
             )
         # pass-2: rescue unclassified elements by similarity to classified
         # ones (reference app.py:417-432 blast equivalent)
@@ -184,7 +209,7 @@ class LTRPipeline:
                 part2 = clsmod.classify_pass2(
                     full, dict(d_class), min_identity=p2[0] / 100.0,
                     min_coverage=p2[1] / 100.0, min_length=int(p2[2]),
-                    shard=(rank, nproc),
+                    shard=(rank, nproc), checkpoint=p2_ckpt,
                 )
                 delta = {
                     eid: c for eid, c in part2.items()
@@ -198,10 +223,18 @@ class LTRPipeline:
                 d_class = clsmod.classify_pass2(
                     full, d_class, min_identity=p2[0] / 100.0,
                     min_coverage=p2[1] / 100.0, min_length=int(p2[2]),
+                    checkpoint=p2_ckpt,
                 )
         self.d_class = d_class
         cls_file = self.int_seqs + ".cls.tsv"
         with open(cls_file, "w") as f:
             clsmod.write_cls_tsv(d_class, f)
+        tmp = cls_pkl + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(d_class, f, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, cls_pkl)
+        for p in (p1_ckpt, p2_ckpt):
+            if os.path.exists(p):
+                os.remove(p)
         logger.info("Wrote classification %s", cls_file)
         return d_class

@@ -609,3 +609,85 @@ def test_ssv_prefilter_decision_parity(hmm_db):
                (b.order, b.superfamily, b.clade, b.strand), eid
     # the filter actually pruned something (junk elements dominate)
     assert 0 < n_viterbi < n_jobs, (n_viterbi, n_jobs)
+
+
+def test_pass1_checkpoint_resume(hmm_db, tmp_path):
+    """classify_elements resumes scored chunks from the pickle-stream
+    checkpoint: already-scored elements come back verbatim without being
+    rescored, and a truncated tail (killed writer) is tolerated."""
+    import os
+
+    from subphaser_tpu.ltr.classify import _load_ckpt_stream
+
+    path, peptides = hmm_db
+    rng = np.random.default_rng(11)
+    filler = "".join(rng.choice(list("ACGT"), size=300))
+    inner = (
+        filler + reverse_translate(peptides["RT"]) + filler
+    )
+    junk = "".join(rng.choice(list("ACGT"), size=600))
+    ckpt = str(tmp_path / "p1.ckpt")
+    d1 = classify_elements([("c1", inner), ("c2", junk)], path, checkpoint=ckpt)
+    assert os.path.exists(ckpt)
+    assert d1["c1"].order == "LTR" and d1["c2"].order is None
+    # resume with GARBLED sequences: checkpointed ids must not be rescored,
+    # so the garbling cannot change the result
+    d2 = classify_elements([("c1", junk), ("c2", junk)], path, checkpoint=ckpt)
+    assert d2["c1"].order == "LTR"
+    assert d2["c1"].domains == d1["c1"].domains
+    assert d2["c1"].strand == d1["c1"].strand
+    # a new element still gets scored on resume
+    d3 = classify_elements(
+        [("c1", junk), ("c3", inner)], path, checkpoint=ckpt
+    )
+    assert d3["c1"].order == "LTR" and d3["c3"].order == "LTR"
+    # truncated final record (process killed mid-write) is tolerated
+    with open(ckpt, "ab") as f:
+        f.write(b"\x80\x04partial-garbage")
+    got = _load_ckpt_stream(ckpt)
+    assert {"c1", "c2", "c3"} <= set(got)
+    assert got["c1"].order == "LTR"
+
+
+def test_pass2_checkpoint_resume(tmp_path):
+    """classify_pass2 resumes screened queries from its checkpoint: the
+    recorded transfer decisions re-apply without re-screening (garbled
+    query sequences on the resume run cannot change them)."""
+    from subphaser_tpu.ltr.classify import Classification, classify_pass2
+
+    rng = np.random.default_rng(13)
+    bases = "ACGT"
+
+    def rand_seq(n):
+        return "".join(rng.choice(list(bases), size=n))
+
+    def mutate(s, rate):
+        return "".join(
+            rng.choice([c for c in bases if c != ch]) if rng.random() < rate
+            else ch for ch in s
+        )
+
+    a = rand_seq(3000)
+    b = mutate(a, 0.03)
+    c = rand_seq(3000)
+
+    def fresh():
+        return {
+            "A": Classification(id="A", order="LTR", superfamily="Copia",
+                                clade="Ale", completed="yes", strand="+"),
+            "B": Classification(id="B"),
+            "C": Classification(id="C"),
+        }
+
+    ckpt = str(tmp_path / "p2.ckpt")
+    out1 = classify_pass2([("A", a), ("B", b), ("C", c)], fresh(),
+                          checkpoint=ckpt)
+    assert out1["B"].order == "LTR" and out1["C"].order is None
+    # resume with garbled unclassified sequences: B's transfer must come
+    # from the checkpoint, and C must stay screened-negative (not rescreened
+    # as the now-different sequence)
+    out2 = classify_pass2([("A", a), ("B", c), ("C", mutate(a, 0.03))],
+                          fresh(), checkpoint=ckpt)
+    assert out2["B"].order == "LTR"
+    assert out2["B"].superfamily == "Copia"
+    assert out2["C"].order is None
