@@ -876,6 +876,7 @@ def _window_coverage(
     target_window: int = 150,
     max_windows: int = 16,
     min_shared: int = 2,
+    hash_pos: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> float:
     """qcovs-equivalent for sketch-based pass-2 (reference app.py:417-432
     gates the best blast hit on qcovs >= 80).
@@ -898,7 +899,7 @@ def _window_coverage(
     # pass-2 hot spot: 16 canonical-code scans per query), then one
     # searchsorted into the candidate's sorted full hash set; per-window
     # DISTINCT shared hashes via unique (window, hash) pairs.
-    h, pos = _sketch_pos(seq, k=sketch_k)
+    h, pos = hash_pos if hash_pos is not None else _sketch_pos(seq, k=sketch_k)
     if h.size == 0:
         return 0.0
     win = (pos // w).astype(np.uint64)
@@ -927,34 +928,43 @@ def _batched_bottom_s_shared(
 
     with s_i = min(|sk|, |b_i|, sketch_s) — exactly the per-pair
     unique+searchsorted formulation (see test_classify math-parity test),
-    computed for ALL candidates with ONE (C, W) argsort. Entries carry an
-    origin bit and an in-bottom-s flag; after sorting each row by hash,
-    duplicates are adjacent (each side's hashes are unique), so a shared
-    bottom-s hash is a unique-start whose pair covers both origins.
-    Returns (shared (C,), s (C,)).
+    computed for ALL candidates at once: pad candidates into a (C, W)
+    matrix, ONE searchsorted of all C*W entries into the query sketch,
+    then row-wise elementwise math. The per-candidate searchsorted+cumsum
+    loop was the pass-2 hot spot (64 tiny GIL-bound numpy calls per
+    query); a (C, na+W) batched argsort was tried and measured 1.2x
+    SLOWER than the loop — the sort-free searchsorted-from-the-candidate-
+    side form below is the one that wins. Returns (shared (C,), s (C,)).
+
+    For a shared hash x at candidate rank m and query rank j, its union
+    rank is j + m - (#shared pairs with value < x in this row): each
+    earlier shared hash collapsed two merged entries into one.
     """
     C = len(csks)
     na = sk.size
-    ja = np.arange(na, dtype=np.int64)
-    shared = np.zeros(C, np.int64)
-    s_v = np.empty(C, np.int64)
+    s_v = np.minimum(
+        np.minimum(na, np.array([b.size for b in csks], np.int64)), sketch_s
+    )
+    if C == 0 or na == 0:
+        return np.zeros(C, np.int64), s_v
+    W = max(b.size for b in csks)
+    if W == 0:
+        return np.zeros(C, np.int64), s_v
+    MAXU = np.uint64(0xFFFFFFFFFFFFFFFF)
+    mat = np.full((C, W), MAXU, np.uint64)
     for i, b in enumerate(csks):
-        s = min(na, b.size, sketch_s)
-        s_v[i] = s
-        if s == 0 or b.size == 0:
-            continue
-        # merge by rank: sa[j] = how many b-hashes precede sk[j], so the
-        # union rank of a SHARED hash sk[j] is j + sa[j] - (#shared before
-        # it) — each earlier shared hash collapsed two merged entries into
-        # one union element.
-        sa = np.searchsorted(b, sk)
-        eq = b[np.minimum(sa, b.size - 1)] == sk
-        dups_before = np.cumsum(eq) - eq  # exclusive
-        urank = ja + sa - dups_before
-        shared[i] = int(
-            (eq & (ja < s) & (sa < s) & (urank < s)).sum()
-        )
-    return shared, s_v
+        mat[i, : b.size] = b
+    jpos = np.searchsorted(sk, mat.ravel()).reshape(C, W)
+    eq = (jpos < na) & (sk[np.minimum(jpos, na - 1)] == mat)
+    eq &= mat != MAXU  # pad value: not a real candidate hash
+    dups_before = np.cumsum(eq, axis=1) - eq  # exclusive, per row
+    m = np.arange(W, dtype=np.int64)[None, :]
+    urank = jpos + m - dups_before
+    s_col = s_v[:, None]
+    shared = (
+        eq & (jpos < s_col) & (m < s_col) & (urank < s_col)
+    ).sum(axis=1)
+    return shared.astype(np.int64), s_v
 
 
 # Deterministic pass-2 work counters (reset on every classify_pass2 call):
@@ -989,7 +999,7 @@ def classify_pass2(
     superfamily/clade copied from the best hit; completeness/domains are
     NOT transferred — only pass-1 proves domains).
     """
-    from subphaser_tpu.ltr.tree import _sketch
+    from subphaser_tpu.ltr.tree import _sketch, _sketch_pos
 
     PASS2_STATS["pair_evals"] = 0
     classified = [
@@ -1063,12 +1073,13 @@ def classify_pass2(
 
     def _screen(item):
         """One query against the classified index -> (eid, best_id|None,
-        n_pair_evals). Reads only structures frozen before the loop (plus
-        the c_full cache, whose benign compute-twice race stores identical
-        arrays), so queries thread cleanly; transfers apply afterwards in
-        input order — byte-identical to the serial loop."""
+        n_pair_evals). Reads only structures frozen before the loop plus
+        the c_full cache; transfers apply afterwards in input order."""
         eid, seq = item
-        sk = _sketch(seq, k=sketch_k, s=sketch_s)
+        # ONE canonical-hash pass serves both the sketch and the coverage
+        # gate (the gate used to re-hash the query — ~2 scans per query)
+        h_all, pos_all = _sketch_pos(seq, k=sketch_k)
+        sk = np.unique(h_all)[:sketch_s]
         if sk.size == 0:
             return eid, None, 0
         # Rank candidates by how many of the query's 16 smallest hashes
@@ -1120,30 +1131,29 @@ def classify_pass2(
                 if best_id not in c_full:
                     c_full[best_id] = _sketch(c_seq[best_id], k=sketch_k,
                                               s=1 << 30)
-                if _window_coverage(seq, c_full[best_id], sketch_k) < min_coverage:
+                if _window_coverage(seq, c_full[best_id], sketch_k,
+                                    hash_pos=(h_all, pos_all)) < min_coverage:
                     return eid, None, len(cand)
             return eid, best_id, len(cand)
         return eid, None, len(cand)
 
-    # numpy releases the GIL for its kernels, so a small thread pool
-    # overlaps queries (pass-2 at wheat scale is otherwise a ~90 min
-    # serial host phase)
-    import os as _os
-    from concurrent.futures import ThreadPoolExecutor
-
-    workers = max(1, min(4, _os.cpu_count() or 1))
+    # SERIAL screening, measured: a 4-thread pool ran 5.4x SLOWER than this
+    # loop (31 vs 167 q/s, tools/bench_pass2.py) — the per-query numpy ops
+    # are far too small to release the GIL, so threads only added lock
+    # thrashing. Cross-machine parallelism comes from the jax.distributed
+    # shard= path; single-host throughput comes from the batched argsort in
+    # _batched_bottom_s_shared and the shared hash pass.
     results = []
     ckpt_mark = 0
-    with ThreadPoolExecutor(max_workers=workers) as ex:
-        for res in ex.map(_screen, unclassified, chunksize=128):
-            results.append(res)
-            if len(results) % 4096 == 0:
-                logger.info("Pass-2: %d/%d screened, %d transferred",
-                            len(results), len(unclassified),
-                            sum(1 for _e, b, _n in results if b is not None))
-                _append_ckpt(checkpoint, {
-                    e: b for e, b, _n in results[ckpt_mark:]})
-                ckpt_mark = len(results)
+    for item in unclassified:
+        results.append(_screen(item))
+        if len(results) % 4096 == 0:
+            logger.info("Pass-2: %d/%d screened, %d transferred",
+                        len(results), len(unclassified),
+                        sum(1 for _e, b, _n in results if b is not None))
+            _append_ckpt(checkpoint, {
+                e: b for e, b, _n in results[ckpt_mark:]})
+            ckpt_mark = len(results)
     _append_ckpt(checkpoint, {e: b for e, b, _n in results[ckpt_mark:]})
     for eid, best_id, evals in results:
         PASS2_STATS["pair_evals"] += evals
