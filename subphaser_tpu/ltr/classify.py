@@ -621,6 +621,15 @@ class EvalueModel:
             math.log(max(L, 1) / self.L0) - math.log(max_evalue)
         ) / self.lam
 
+    def score_floor_batch(self, max_evalue: float, L_v: np.ndarray) -> np.ndarray:
+        """(B, P) score floors for a batch of frame lengths (one broadcast
+        instead of B per-job calls — the per-job loop was measurable at
+        wheat scale: ~7M SSV-gated jobs)."""
+        L_v = np.maximum(np.asarray(L_v, np.float64), 1.0)
+        return self.mu0[None, :] + (
+            np.log(L_v / self.L0)[:, None] - math.log(max_evalue)
+        ) / self.lam[None, :]
+
 
 # SSV prefilter P-value gate: HMMER3's MSV filter passes P <= 0.02; jobs
 # with no profile reaching this ungapped significance skip the Viterbi.
@@ -783,12 +792,11 @@ def classify_elements(
                         (sel, stack.ssv_scores_many_async(arr, nv)))
             live = []
             for sel, sv in ssv_pending:
-                sv = np.asarray(sv)
-                for r, j in enumerate(sel):
-                    L = max(jobs[j][4].size, 2)
-                    floor_v = ssv_model.score_floor(_SSV_P, L)
-                    if (sv[r] >= floor_v).any():
-                        live.append(j)
+                sv = np.asarray(sv)[: len(sel)]
+                L_v = np.maximum([jobs[j][4].size for j in sel], 2)
+                flo = ssv_model.score_floor_batch(_SSV_P, L_v)
+                keep = (sv >= flo).any(axis=1)
+                live.extend(j for r, j in enumerate(sel) if keep[r])
             PASS1_STATS["jobs"] += len(jobs)
             PASS1_STATS["viterbi_jobs"] += len(live)
 
