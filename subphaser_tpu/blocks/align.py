@@ -27,30 +27,51 @@ def _decode_chrom(c) -> np.ndarray:
     return unpack_codes(c.packed, c.vmask, c.length)
 
 
-def align_pair(
+def fetch_pair_matches(
     genome: PackedGenome, qname: str, tname: str, k: int = 15, mod: int = 16,
-    max_gap: int = 100_000, min_block: int = 20_000, min_anchors: int = 10,
-    emit_cs: bool = True, decode_cache: dict | None = None,
     anchor_cache: dict | None = None,
-) -> list[PafRecord]:
-    """``decode_cache``/``anchor_cache`` (optional, managed by run_align)
-    memoize decoded chromosome codes and device-resident anchor sets
-    across the pairs a chromosome participates in; the
-    reverse-complemented target is built lazily, only when a minus-strand
-    chain exists."""
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Device half of a pair alignment: anchors stay on device, the join
+    runs on device, and only MATCHED pairs cross the link. Split out of
+    :func:`align_pair` so run_align can PREFETCH the next pair's matches
+    (device compute + the tunnel download) while the current pair's host
+    chaining/gap-DP runs — the two halves are comparable in wall clock, so
+    the overlap is ~2x on the blocks phase."""
     from subphaser_tpu.ops.anchors import chrom_anchors_dev, match_anchors_dev
 
     q = genome.chrom(qname)
     t = genome.chrom(tname)
-    # anchors stay on device; the join runs on device and only matched
-    # pairs cross the link (the per-tile anchor downloads dominated the
-    # pre-round-3 profile: ~7 s of a 31 s pair through the remote tunnel)
     acache = anchor_cache if anchor_cache is not None else {}
     if qname not in acache:
         acache[qname] = chrom_anchors_dev(q, k=k, mod=mod)
     if tname not in acache:
         acache[tname] = chrom_anchors_dev(t, k=k, mod=mod)
-    qpos, tpos, rel = match_anchors_dev(acache[qname], acache[tname])
+    return match_anchors_dev(acache[qname], acache[tname])
+
+
+def align_pair(
+    genome: PackedGenome, qname: str, tname: str, k: int = 15, mod: int = 16,
+    max_gap: int = 100_000, min_block: int = 20_000, min_anchors: int = 10,
+    emit_cs: bool = True, decode_cache: dict | None = None,
+    anchor_cache: dict | None = None,
+    prefetched: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+) -> list[PafRecord]:
+    """``decode_cache``/``anchor_cache`` (optional, managed by run_align)
+    memoize decoded chromosome codes and device-resident anchor sets
+    across the pairs a chromosome participates in; the
+    reverse-complemented target is built lazily, only when a minus-strand
+    chain exists. ``prefetched``: matches from :func:`fetch_pair_matches`
+    (run_align's pipeline); computed here when absent."""
+    q = genome.chrom(qname)
+    t = genome.chrom(tname)
+    # anchors stay on device; the join runs on device and only matched
+    # pairs cross the link (the per-tile anchor downloads dominated the
+    # pre-round-3 profile: ~7 s of a 31 s pair through the remote tunnel)
+    qpos, tpos, rel = (
+        prefetched if prefetched is not None
+        else fetch_pair_matches(genome, qname, tname, k=k, mod=mod,
+                                anchor_cache=anchor_cache)
+    )
     q_codes = t_codes = trc = None
     if emit_cs:
         cache = decode_cache if decode_cache is not None else {}
@@ -177,6 +198,7 @@ def run_align(
     rank = _jax.process_index()
     paf_text: dict[int, str] = {}
     caches: dict[int, tuple[dict, dict]] = {}
+    todo: list[tuple[int, int, str, str]] = []
     for pi, (si, chr1, chr2) in enumerate(pair_list):
         out = os.path.join(outdir, f"{chr1}-{chr2}.paf")
         if os.path.exists(out) and os.path.getsize(out) > 0:
@@ -185,21 +207,50 @@ def run_align(
             continue
         if nproc > 1 and pi % nproc != rank:
             continue
+        todo.append((pi, si, chr1, chr2))
+
+    # one-ahead pipeline: a single worker thread runs the NEXT pair's
+    # device anchoring/join + tunnel download while the main thread chains
+    # and gap-DP-aligns the current pair (the native DP releases the GIL,
+    # and jax dispatch is thread-safe). Prefetch only within the same
+    # homoeologous set so at most one set's anchor arrays live on device.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _caches_for(si: int) -> tuple[dict, dict]:
         # decoded chromosomes / device anchor sets are reused across this
         # homoeologous set's pairs and dropped afterwards (bounds host and
         # device memory to one set)
         if si not in caches:
             caches.clear()
             caches[si] = ({}, {})
-        decode_cache, anchor_cache = caches[si]
-        recs = align_pair(
-            genome, chr1, chr2, k=k, mod=mod,
-            min_block=max(min_block // 5, 10_000),
-            decode_cache=decode_cache,
-            anchor_cache=anchor_cache,
-        )
-        paf_text[pi] = "".join(r.to_line() + "\n" for r in recs)
-        logger.info("Aligned %s vs %s: %d blocks", chr1, chr2, len(recs))
+        return caches[si]
+
+    with ThreadPoolExecutor(max_workers=1) as devex:
+        pending = None  # (index into todo, Future)
+        for ti, (pi, si, chr1, chr2) in enumerate(todo):
+            decode_cache, anchor_cache = _caches_for(si)
+            if pending is not None and pending[0] == ti:
+                prefetched = pending[1].result()
+            else:
+                prefetched = fetch_pair_matches(
+                    genome, chr1, chr2, k=k, mod=mod,
+                    anchor_cache=anchor_cache)
+            pending = None
+            if ti + 1 < len(todo):
+                npi, nsi, nc1, nc2 = todo[ti + 1]
+                if nsi == si:  # same set: anchor cache stays bounded
+                    pending = (ti + 1, devex.submit(
+                        fetch_pair_matches, genome, nc1, nc2, k=k, mod=mod,
+                        anchor_cache=anchor_cache))
+            recs = align_pair(
+                genome, chr1, chr2, k=k, mod=mod,
+                min_block=max(min_block // 5, 10_000),
+                decode_cache=decode_cache,
+                anchor_cache=anchor_cache,
+                prefetched=prefetched,
+            )
+            paf_text[pi] = "".join(r.to_line() + "\n" for r in recs)
+            logger.info("Aligned %s vs %s: %d blocks", chr1, chr2, len(recs))
     if nproc > 1:
         from subphaser_tpu.parallel.distributed import exchange_blobs
 
