@@ -136,15 +136,21 @@ def bench_tpu(words, vwords):
     return mbp / dt
 
 
-def bench_cpu_numpy(words, vwords):
-    """Same algorithm in numpy, single tile, single thread."""
-    from subphaser_tpu.io.encoding import unpack_words
+CPU_REPS = 4  # pinned: max-of-4 (r3 vs r4 showed a 4x swing on best-of-2)
 
+
+def bench_cpu_numpy(words, vwords):
+    """Same algorithm in numpy, single tile, single thread.
+
+    The baseline is PINNED at max-of-CPU_REPS: host load varies between
+    rounds (r3 measured 0.8 Mbp/s, r4 3.4 on the same code), and the
+    baseline's variance propagates 1:1 into the headline vs_baseline
+    ratio. The max over a fixed rep count estimates the machine's
+    unloaded single-thread rate, which is the stable quantity."""
     w = words[0]
     v = vwords[0]
     best = None
-    for _rep in range(2):  # host load varies; take the best of two
-        t0 = time.time()
+    for _rep in range(CPU_REPS):
         best = _cpu_once(w, v, best)
     return best
 

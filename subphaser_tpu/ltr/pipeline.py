@@ -69,9 +69,15 @@ class LTRPipeline:
                 self.genome, self.harvest_options,
                 detectors=self.detectors, finder_options=self.finder_options,
                 tile_bases=self.tile_bases,
+                checkpoint_prefix=scn,
             )
             with open(scn, "w") as f:
                 write_scn(ltrs, f)
+            # per-chromosome parts are superseded by the full .scn
+            import glob as _glob
+
+            for part in _glob.glob(scn + ".part.*.scn"):
+                os.remove(part)
         ltr_count = len(ltrs)
         logger.info("%d LTRs identified", ltr_count)
         if ltr_count == 0:

@@ -9,13 +9,63 @@ and only rank 0 writes output files.
 
 On a single machine this module degrades to no-ops (the same silent local
 fallback the reference's grid path has, RunCmdsMP.py:533-535).
+
+Rank-failure policy: a dead or hung rank leaves the survivors blocked in
+the allgather (the collective has no notion of a missing participant), so
+every exchange in this module runs under a watchdog — if the collective
+has not completed within ``SUBPHASER_COLLECTIVE_TIMEOUT`` seconds
+(default 1800; 0 disables), the survivor logs the failed exchange and
+hard-exits with code 17. The recovery action is to RESTART THE WHOLE JOB:
+every phase that feeds an exchange is checkpointed (spectra, map bins,
+per-chromosome .scn parts, classification chunk streams, per-pair PAFs),
+so the restarted job replays only the work the dead rank never finished.
+This is the collective-runtime equivalent of the reference grid's
+retry-failed-jobs-and-resume-from-.completed loop (RunCmdsMP.py:173-217,
+398-416): the retry unit here is the job, not the task, because a lost
+jax.distributed rank cannot rejoin a live ring.
 """
 
 from __future__ import annotations
 
+import contextlib
+import os
+import threading
+
 import jax
 
 from subphaser_tpu.utils.log import logger
+
+COLLECTIVE_TIMEOUT_ENV = "SUBPHASER_COLLECTIVE_TIMEOUT"
+
+
+@contextlib.contextmanager
+def _collective_watchdog(label: str):
+    """Hard-exit (code 17) if a collective blocks past the deadline.
+
+    The allgather blocks inside the runtime where Python signals cannot
+    interrupt it, so the watchdog is a daemon timer + os._exit — loud and
+    immediate, instead of the survivors wedging forever on a dead peer."""
+    seconds = float(os.environ.get(COLLECTIVE_TIMEOUT_ENV, "1800"))
+    if seconds <= 0:
+        yield
+        return
+
+    def _boom():
+        logger.error(
+            "collective '%s' did not complete within %.0fs on rank %d/%d "
+            "— a peer rank is dead or hung. Exiting 17; restart the job "
+            "(checkpoints resume the finished work).",
+            label, seconds, jax.process_index(), jax.process_count(),
+        )
+        os._exit(17)
+
+    t = threading.Timer(seconds, _boom)
+    t.daemon = True
+    t.start()
+    try:
+        yield
+    finally:
+        t.cancel()
 
 
 def init_distributed(
@@ -84,16 +134,17 @@ def exchange_chrom_spectra(results: dict, chrom_names: list[str]):
     for ci, s in results.items():
         sizes[ci] = s.codes.size
         totals[ci] = s.total
-    g_sizes = np.asarray(multihost_utils.process_allgather(sizes)).max(axis=0)
-    g_totals = np.asarray(multihost_utils.process_allgather(totals)).max(axis=0)
-    cap = max(int(g_sizes.max()), 1)
-    pc = np.zeros((n, cap), np.int32)
-    pn = np.zeros((n, cap), np.int64)
-    for ci, s in results.items():
-        pc[ci, : s.codes.size] = s.codes
-        pn[ci, : s.codes.size] = s.counts
-    gc = np.asarray(multihost_utils.process_allgather(pc))
-    gn = np.asarray(multihost_utils.process_allgather(pn))
+    with _collective_watchdog("exchange_chrom_spectra"):
+        g_sizes = np.asarray(multihost_utils.process_allgather(sizes)).max(axis=0)
+        g_totals = np.asarray(multihost_utils.process_allgather(totals)).max(axis=0)
+        cap = max(int(g_sizes.max()), 1)
+        pc = np.zeros((n, cap), np.int32)
+        pn = np.zeros((n, cap), np.int64)
+        for ci, s in results.items():
+            pc[ci, : s.codes.size] = s.codes
+            pn[ci, : s.codes.size] = s.counts
+        gc = np.asarray(multihost_utils.process_allgather(pc))
+        gn = np.asarray(multihost_utils.process_allgather(pn))
     nproc = jax.process_count()
     for ci in range(n):
         if ci in results:
@@ -125,12 +176,13 @@ def exchange_blobs(blobs: dict[int, bytes], n_items: int) -> dict[int, bytes]:
     sizes = np.zeros(n_items, np.int64)
     for i, b in blobs.items():
         sizes[i] = len(b)
-    g_sizes = np.asarray(multihost_utils.process_allgather(sizes)).max(axis=0)
-    cap = max(int(g_sizes.max()), 1)
-    buf = np.zeros((n_items, cap), np.uint8)
-    for i, b in blobs.items():
-        buf[i, : len(b)] = np.frombuffer(b, np.uint8)
-    g = np.asarray(multihost_utils.process_allgather(buf))
+    with _collective_watchdog("exchange_blobs"):
+        g_sizes = np.asarray(multihost_utils.process_allgather(sizes)).max(axis=0)
+        cap = max(int(g_sizes.max()), 1)
+        buf = np.zeros((n_items, cap), np.uint8)
+        for i, b in blobs.items():
+            buf[i, : len(b)] = np.frombuffer(b, np.uint8)
+        g = np.asarray(multihost_utils.process_allgather(buf))
     nproc = jax.process_count()
     out: dict[int, bytes] = {}
     for i in range(n_items):
@@ -187,8 +239,9 @@ def allgather_spectrum(codes, counts, cap: int, lower_count: int = 1):
     pn = np.zeros(cap, np.int64)
     pc[: codes.size] = codes
     pn[: codes.size] = counts
-    gc = np.asarray(multihost_utils.process_allgather(pc))
-    gn = np.asarray(multihost_utils.process_allgather(pn))
+    with _collective_watchdog("allgather_spectrum"):
+        gc = np.asarray(multihost_utils.process_allgather(pc))
+        gn = np.asarray(multihost_utils.process_allgather(pn))
     parts = []
     for r in range(gc.shape[0]):
         m = gc[r] != SENTINEL

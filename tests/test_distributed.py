@@ -80,10 +80,11 @@ def test_two_process_distributed_count(tmp_path):
 
 def test_two_process_pipeline_run(tmp_path):
     """The PRODUCTION ``Pipeline.run`` across 2 jax.distributed processes:
-    chromosome-sharded counting + spectrum exchange, replicated downstream
-    steps; every per-rank output file must be byte-identical to the other
-    rank AND to a single-process run (reference multi-host parity,
-    RunCmdsMP.py:38-217)."""
+    counting, mapping, LTR detection, classification (both passes) and
+    block pairs are each rank-sharded with payload exchanges (the body
+    asserts the per-stage work-division markers); every per-rank output
+    file must be byte-identical to the other rank AND to a single-process
+    run (reference multi-host parity, RunCmdsMP.py:38-217)."""
     worker = os.path.join(os.path.dirname(__file__), "dist_worker_pipeline.py")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(worker)))
     shared = tmp_path / "shared"
@@ -158,3 +159,46 @@ def test_two_process_pipeline_run(tmp_path):
         b0 = open(os.path.join(r0, f), "rb").read()
         assert b0 == open(os.path.join(r1, f), "rb").read(), f"rank diff: {f}"
         assert b0 == open(os.path.join(s, f), "rb").read(), f"single diff: {f}"
+
+
+def test_dead_rank_watchdog_exits_17(tmp_path):
+    """Rank-failure policy: when a peer dies before an exchange, the
+    survivor must NOT wedge in the allgather — the collective watchdog
+    takes it down with exit code 17 within SUBPHASER_COLLECTIVE_TIMEOUT
+    seconds, and the operator restarts the job (checkpoints resume). The
+    reference grid's analogue is its retry-failed-jobs loop
+    (RunCmdsMP.py:173-217)."""
+    worker = os.path.join(os.path.dirname(__file__), "dist_worker_dead.py")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(worker)))
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["SUBPHASER_COLLECTIVE_TIMEOUT"] = "10"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (repo, "/root/.axon_site", env.get("PYTHONPATH")) if p
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, f"127.0.0.1:{port}", str(r), "2"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for r in range(2)
+    ]
+    outputs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise AssertionError(
+                "survivor wedged: watchdog did not fire within the timeout"
+            )
+        outputs.append(stdout.decode(errors="replace"))
+    assert procs[1].returncode == 0, outputs[1][-2000:]
+    assert procs[0].returncode == 17, (
+        f"survivor rc={procs[0].returncode}, want 17 (watchdog exit):\n"
+        f"{outputs[0][-2000:]}"
+    )
+    assert "did not complete within" in outputs[0]
