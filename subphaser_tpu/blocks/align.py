@@ -170,6 +170,8 @@ def run_align(
     min_block: int = 100_000,
     k: int = 15,
     mod: int = 16,
+    min_anchors: int = 10,
+    max_gap: int = 100_000,
 ) -> tuple[list[str], dict]:
     """Align all homoeologous chromosome pairs -> PAF files.
 
@@ -245,6 +247,7 @@ def run_align(
             recs = align_pair(
                 genome, chr1, chr2, k=k, mod=mod,
                 min_block=max(min_block // 5, 10_000),
+                min_anchors=min_anchors, max_gap=max_gap,
                 decode_cache=decode_cache,
                 anchor_cache=anchor_cache,
                 prefetched=prefetched,

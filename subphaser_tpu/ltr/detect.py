@@ -268,10 +268,20 @@ def detect_ltr_chrom(
 
 
 def parse_finder_options(options: str | None) -> dict:
-    """Map `-ltr_finder_options` flags (-D/-d/-L/-l/-M/-w, reference
-    __main__.py:141-145) onto the finder detector parameters. ``-w`` is the
-    structural-quality gate (reference default ``-w 2``): the minimum number
-    of TG..CA/TSD/PBS/PPT signals a candidate must show."""
+    """Map `-ltr_finder_options` flags (-D/-d/-L/-l/-M, reference
+    __main__.py:141-145) onto the finder detector parameters.
+
+    Score-scale calibration vs ltr_finder (documented deviation closed):
+    ltr_finder's ``-w`` is its OUTPUT FORMAT flag (``-w 2`` = table), not
+    a score threshold — it is parsed and ignored here because the native
+    detector always emits .scn records. ltr_finder's reported score sums
+    ~11 feature points (LTR pair + TSD + TG..CA motif + PBS + PPT + ORF
+    signals); the native finder's quality gate counts the 4 structural
+    signals it detects (TG..CA / TSD / PBS / PPT) and keeps candidates
+    showing >= ``min_score`` of them (default 2 ~= ltr_finder's practical
+    "two corroborating features" floor). The gate is adjustable with the
+    extension token ``-min_score N``. ``-M`` maps exactly: minimum
+    LTR-pair similarity (0-1 -> percent)."""
     params = dict(DEFAULT_PARAMS)
     params["min_score"] = 2
     if not options:
@@ -282,7 +292,7 @@ def parse_finder_options(options: str | None) -> dict:
         "-d": ("mindistltr", int),
         "-L": ("maxlenltr", int),
         "-l": ("minlenltr", int),
-        "-w": ("min_score", int),
+        "-min_score": ("min_score", int),
     }
     for i, t in enumerate(toks):
         if t in keymap and i + 1 < len(toks):

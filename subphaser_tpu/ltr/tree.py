@@ -132,6 +132,7 @@ def build_ltr_trees(
     d_class: dict | None = None,
     trim_gt: float | None = None,
     n_boot: int = 100,
+    use_branch_lengths: bool = False,
 ) -> dict[str, tuple[str, str]]:
     """Build one tree per classified superfamily group.
 
@@ -224,7 +225,8 @@ def build_ltr_trees(
         figfile = f"{out_prefix}.{key}.tree.{figfmt}"
         try:
             plot_circular_tree(newick, {s: l.sg for s, l in zip(names, ltrs)},
-                               d_colors or {}, figfile)
+                               d_colors or {}, figfile,
+                               use_branch_lengths=use_branch_lengths)
         except Exception as e:
             logger.warning("Tree plot for %s failed: %s", key, e)
         logger.info("LTR tree for %s: %d leaves -> %s", key, len(ltrs), treefile)
@@ -369,7 +371,11 @@ def reroot_midpoint(newick: str) -> str:
 
 
 def plot_circular_tree(newick: str, d_sg: dict[str, str], d_colors: dict,
-                       outfig: str) -> None:
+                       outfig: str, use_branch_lengths: bool = False) -> None:
+    """``use_branch_lengths`` mirrors -ggtree_options: the reference
+    default ``branch.length='none'`` is the cladogram depth layout; any
+    other value renders radial distance as cumulative branch length
+    (reference __main__.py:200-204 -> LTR.py ggtree call)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -390,17 +396,20 @@ def plot_circular_tree(newick: str, d_sg: dict[str, str], d_colors: dict,
         leaf.angle = 2 * math.pi * i / max(n_leaves, 1)
 
     def assign(n, depth):
-        # cladogram depth layout (branch.length='none' in the reference opts)
+        # cladogram depth layout (branch.length='none' in the reference
+        # opts) or phylogram cumulative-length layout
         n.radius = depth
         if n.children:
             for c in n.children:
-                assign(c, depth + 1)
+                step = max(c.length, 0.0) if use_branch_lengths else 1
+                assign(c, depth + step)
             n.angle = float(np.mean([c.angle for c in n.children]))
 
     assign(root, 0)
     maxdepth = max((l.radius for l in leaves), default=1)
-    for leaf in leaves:
-        leaf.radius = maxdepth  # leaves on the outer ring
+    if not use_branch_lengths:
+        for leaf in leaves:
+            leaf.radius = maxdepth  # leaves on the outer ring
 
     fig = plt.figure(figsize=(8, 8), dpi=200)
     ax = fig.add_subplot(111, polar=True)

@@ -152,18 +152,86 @@ def chrom_anchors(
     )
 
 
+class DevAnchors:
+    """A chromosome's sampled anchors, resident on device.
+
+    ``c``/``p``/``s`` are position-ordered, compacted to a rounded cap
+    (SENTINEL/-1 pads only at the tail). ``sorted3()`` lazily computes and
+    memoizes the code-sorted copy — each chromosome participates in every
+    pair of its homoeologous set, so the t-side sort (and the q-side
+    occurrence lookup) is paid once per chromosome, not once per pair.
+
+    Iterable as (c, p, s, n) for older call sites."""
+
+    __slots__ = ("c", "p", "s", "n", "_sorted", "_occ")
+
+    def __init__(self, c, p, s, n: int):
+        self.c, self.p, self.s, self.n = c, p, s, n
+        self._sorted = None
+        self._occ = None
+
+    def __iter__(self):
+        return iter((self.c, self.p, self.s, self.n))
+
+    def __getitem__(self, i):
+        return (self.c, self.p, self.s, self.n)[i]
+
+    def sorted3(self):
+        if self._sorted is None:
+            self._sorted = _sort3(self.c, self.p, self.s)
+        return self._sorted
+
+    def occ(self):
+        """Per-anchor occurrence count of its code within this chromosome
+        (cached: q_occ depends only on the q side, so it is paid once per
+        chromosome, not once per pair)."""
+        if self._occ is None:
+            lo, hi = _ss_left_right(self.sorted3()[0], self.c)
+            self._occ = hi - lo
+        return self._occ
+
+
+@jax.jit
+def _sort3(c, p, s):
+    return jax.lax.sort((c, p, s), num_keys=1)
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _compact3(c, p, s, *, cap: int):
+    """Drop interleaved per-tile SENTINEL pads (cumsum + searchsorted,
+    never jnp.where(size=)); output padded to ``cap`` at the tail."""
+    import jax.numpy as jnp
+
+    flat = (c != SENTINEL).reshape(-1)
+    csum = jnp.cumsum(flat.astype(jnp.int32))
+    n_total = csum[-1]
+    targets = jnp.arange(1, cap + 1, dtype=jnp.int32)
+    sel = jnp.minimum(jnp.searchsorted(csum, targets), flat.shape[0] - 1)
+    valid = targets <= n_total
+    return (
+        jnp.where(valid, c[sel], SENTINEL),
+        jnp.where(valid, p[sel], -1),
+        jnp.where(valid, s[sel], 0),
+    )
+
+
+_COMPACT_QUANTUM = 1 << 22
+
+
 def chrom_anchors_dev(
     chrom: PackedChromosome, k: int = 15, mod: int = 16,
     tile_bases: int = 1 << 23,
-):
+) -> DevAnchors:
     """Sampled anchors for a whole chromosome, kept ON DEVICE.
 
-    Returns (codes, pos, strand) device arrays (SENTINEL/-1 padded,
-    position order) and the total count. Feeds :func:`match_anchors_dev`,
-    which joins the two sides on device so only MATCHED pairs ever cross
-    the link (through the remote tunnel the per-tile anchor downloads of
-    :func:`chrom_anchors` cost ~7 s per 26 Mb chromosome; matches are
-    ~10x smaller)."""
+    Returns a :class:`DevAnchors` (position order, compacted). Feeds
+    :func:`match_anchors_dev`, which joins the two sides on device so only
+    MATCHED pairs ever cross the link (through the remote tunnel the
+    per-tile anchor downloads of :func:`chrom_anchors` cost ~7 s per 26 Mb
+    chromosome; matches are ~10x smaller). Compaction matters at scale: a
+    667 Mb chromosome's per-tile padding would otherwise carry ~80 M
+    entries (~48% pads) into every downstream sort — the padded 6-operand
+    join program peaked past device memory and crashed the TPU worker."""
     import jax
     import jax.numpy as jnp
 
@@ -196,83 +264,116 @@ def chrom_anchors_dev(
         parts_s.append(s)
         total += min(n, cap)
     if not parts_c:
-        import jax.numpy as jnp
-
         z = jnp.full(1, SENTINEL, jnp.int32)
-        return z, jnp.full(1, -1, jnp.int32), jnp.zeros(1, jnp.int32), 0
+        return DevAnchors(z, jnp.full(1, -1, jnp.int32),
+                          jnp.zeros(1, jnp.int32), 0)
     cat = lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs)  # noqa: E731
-    return cat(parts_c), cat(parts_p), cat(parts_s), total
+    c, p, s = cat(parts_c), cat(parts_p), cat(parts_s)
+    cap_r = max(_COMPACT_QUANTUM, -(-total // _COMPACT_QUANTUM) * _COMPACT_QUANTUM)
+    if cap_r < c.shape[0]:
+        c, p, s = _compact3(c, p, s, cap=cap_r)
+    return DevAnchors(c, p, s, total)
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "max_occ"))
-def _match_dev(qc, qp, qs, tc, tp, ts, *, cap: int, max_occ: int):
-    """Device join of two anchor sets on equal canonical codes.
+@jax.jit
+def _ss_left_right(keys, queries):
+    """left and right insertion ranks of ``queries`` in sorted ``keys``.
 
-    Mirrors :func:`match_anchors` exactly (same max_occ filters); the
-    variable-length run expansion uses the cumsum + searchsorted
-    compaction pattern (no scatter). Returns (qpos, tpos, rel) int32
-    arrays of ``cap`` entries (-1 padded) + the true pair count."""
-    import jax
+    Kept as its own small program ON PURPOSE: the join used to run as one
+    fused program (four searchsorteds + cumsum at ~42 M elements) and that
+    program reproducibly crashed the TPU worker ("kernel fault") even on
+    synthetic data, while the exact same ops run fine as separate
+    programs (tools/probe_match_crash2.py bisected this). The join is
+    therefore deliberately staged into proven-size programs."""
     import jax.numpy as jnp
 
-    tc_s, tp_s, ts_s = jax.lax.sort((tc, tp, ts), num_keys=1)
-    qc_sorted = jnp.sort(qc)
-    q_occ = jnp.searchsorted(qc_sorted, qc, side="right") - jnp.searchsorted(
-        qc_sorted, qc
+    return (
+        jnp.searchsorted(keys, queries),
+        jnp.searchsorted(keys, queries, side="right"),
     )
-    lo = jnp.searchsorted(tc_s, qc)
-    hi = jnp.searchsorted(tc_s, qc, side="right")
+
+
+@functools.partial(jax.jit, static_argnames=("max_occ",))
+def _combine_runs(qc, q_occ, lo, hi, *, max_occ: int):
+    """Kept-run prefix sums (elementwise + one cumsum; see _ss_left_right
+    for why this is a separate program). Returns (csum, n_pairs)."""
+    import jax.numpy as jnp
+
     runs = hi - lo
     keep = (runs > 0) & (runs <= max_occ) & (q_occ <= max_occ) & (qc != SENTINEL)
-    c = jnp.where(keep, runs, 0)
-    csum = jnp.cumsum(c)
+    csum = jnp.cumsum(jnp.where(keep, runs, 0))
+    return csum, csum[-1]
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def _match_emit(qp, qs, tp_s, ts_s, lo, csum, offset, *, window: int):
+    """Emit one fixed-size window of joined pairs, packed for download.
+
+    Returns (qpos int32, packed int32) where packed = tpos | rel << 31 —
+    8 bytes per pair instead of 12 through the 1-3 MB/s tunnel. ``offset``
+    is dynamic, so ONE compiled program covers every window of every pair
+    at this window size. Invalid rows have qpos == -1."""
+    import jax.numpy as jnp
+
     n_pairs = csum[-1]
-    t_ids = jnp.arange(cap, dtype=jnp.int32)
+    t_ids = offset + jnp.arange(window, dtype=jnp.int32)
     qi = jnp.searchsorted(csum, t_ids + 1)
-    qi_c = jnp.minimum(qi, qc.shape[0] - 1)
-    base = csum[qi_c] - c[qi_c]
-    tj = jnp.minimum(lo[qi_c] + (t_ids - base), tc_s.shape[0] - 1)
+    qi_c = jnp.minimum(qi, qp.shape[0] - 1)
+    base = jnp.where(qi_c > 0, csum[jnp.maximum(qi_c - 1, 0)], 0)
+    tj = jnp.minimum(lo[qi_c] + (t_ids - base), tp_s.shape[0] - 1)
     valid = t_ids < n_pairs
     out_q = jnp.where(valid, qp[qi_c], -1)
-    out_t = jnp.where(valid, tp_s[tj], -1)
-    out_r = jnp.where(valid, (qs[qi_c] != ts_s[tj]).astype(jnp.int32), 0)
-    return out_q, out_t, out_r, n_pairs
+    rel = (qs[qi_c] != ts_s[tj]).astype(jnp.int32)
+    out_packed = jnp.where(valid, tp_s[tj] | (rel << 31), 0)
+    return out_q, out_packed
 
 
-def match_anchors_dev(qa, ta, max_occ: int = 8):
+MATCH_EMIT_WINDOW = 1 << 22  # 4.2M pairs = 33 MB per downloaded window
+
+
+def match_anchors_dev(qa: DevAnchors, ta: DevAnchors, max_occ: int = 8):
     """Join device anchor sets -> host (qpos, tpos, rel), (q, t)-sorted.
 
     ``qa``/``ta`` are :func:`chrom_anchors_dev` results. Pair set is
     identical to the host :func:`match_anchors`; order is (qpos, tpos)
     ascending — the same order the host path produces (q anchors are
-    position-ordered and each q's t-run ascending)."""
-    import jax.numpy as jnp
+    position-ordered and each q's t-run ascending).
 
-    qc, qp, qs, _nq = qa
-    tc, tp, ts, _nt = ta
-    cap = 1 << 17
-    while True:
-        oq, ot, orr, n_pairs = _match_dev(
-            qc, qp, qs, tc, tp, ts, cap=cap, max_occ=max_occ
-        )
-        n = int(n_pairs)
-        if n <= cap or cap >= (1 << 26):
-            break
-        cap = max(cap * 4, 1 << max(n - 1, 1).bit_length())
-    chunk = min(ANCHOR_DOWNLOAD_CHUNK, cap)
-    n_chunks = max(1, -(-min(n, cap) // chunk))
-    parts = [
-        _slice3(oq, ot, orr, np.int32(i * chunk), chunk)
-        for i in range(n_chunks)
+    The join is deliberately staged into several SMALL programs (cached
+    per-chromosome sort + occurrence counts, per-pair rank lookups, one
+    combine, windowed emit): the old single fused join program crashed the
+    TPU worker at 667 Mb chromosome scale (see _ss_left_right), and the
+    staging also removes the cap-retry re-execution and lets the sorted /
+    occurrence arrays amortize across a homoeologous set's pairs. Pairs
+    stream down in fixed windows packed to 8 bytes each; all windows are
+    dispatched before the first download so device compute overlaps the
+    tunnel."""
+    q_occ = qa.occ()
+    tc_s, tp_s, ts_s = ta.sorted3()
+    lo, hi = _ss_left_right(tc_s, qa.c)
+    csum, n_pairs = _combine_runs(qa.c, q_occ, lo, hi, max_occ=max_occ)
+    n = int(n_pairs)
+    if n == 0:
+        z32 = np.zeros(0, np.int32)
+        return z32.astype(np.int64), z32.astype(np.int64), z32
+    window = MATCH_EMIT_WINDOW
+    handles = [
+        _match_emit(qa.p, qa.s, tp_s, ts_s, lo, csum, np.int32(w * window),
+                    window=window)
+        for w in range(-(-n // window))
     ]
-    q = np.concatenate([np.asarray(x[0]) for x in parts])
-    t = np.concatenate([np.asarray(x[1]) for x in parts])
-    r = np.concatenate([np.asarray(x[2]) for x in parts])
+    qs_h, ts_h = [], []
+    for oq, op in handles:
+        qs_h.append(np.asarray(oq))
+        ts_h.append(np.asarray(op))
+    q = np.concatenate(qs_h)
+    packed = np.concatenate(ts_h)
     m = q >= 0
-    q, t, r = q[m], t[m], r[m]
+    q, packed = q[m], packed[m].view(np.uint32)
+    t = (packed & np.uint32(0x7FFFFFFF)).astype(np.int64)
+    r = (packed >> np.uint32(31)).astype(np.int32)
     order = np.lexsort((t, q))
-    return (q[order].astype(np.int64), t[order].astype(np.int64),
-            r[order].astype(np.int32))
+    return q[order].astype(np.int64), t[order], r[order]
 
 
 def match_anchors(

@@ -100,27 +100,100 @@ class Pipeline:
             )
         self._warn_compat_flags()
 
-    _COMPAT_FLAG_DEFAULTS = {
-        # accepted for reference CLI compatibility; their backends
-        # (R heatmap.2, external ggtree pipelines) are replaced by native
-        # implementations with no option passthrough. tesorter/trimal/tree
-        # options ARE parsed (see _parse_tool_options) for the sub-flags
-        # with native analogues.
-        "aligner_options": "-x asm20 -n 10",
-        "ggtree_options": "branch.length='none', layout='circular'",
-        "heatmap_options": None,
-    }
-
     def _warn_compat_flags(self):
-        for flag, default in self._COMPAT_FLAG_DEFAULTS.items():
-            val = getattr(self, flag, None)
-            if val not in (None, default):
-                logger.warning(
-                    "-%s is accepted for reference CLI compatibility but has "
-                    "no effect: the native backend takes no option "
-                    "passthrough (value %r ignored)", flag, val,
-                )
+        self._parse_plot_options()
+        self._parse_aligner_options()
         self._parse_tool_options()
+
+    def _parse_plot_options(self):
+        """Native analogues for -heatmap_options / -ggtree_options.
+
+        The reference forwards these verbatim to R heatmap.2 and ggtree
+        (reference __main__.py:123-127, 200-204; Jellyfish.py:525-603);
+        the matplotlib backends honor the sub-flags with direct analogues
+        (heatmap.2: scale=, main=, xlab=, labCol=, key=; ggtree:
+        branch.length=, layout=) and warn-ignore the rest.
+        """
+        import re
+
+        self.heatmap_kw: dict = {}
+        known = {"scale", "main", "xlab", "labCol", "key"}
+        if self.heatmap_options:
+            for m in re.finditer(
+                r"([A-Za-z._]+)\s*=\s*(\"[^\"]*\"|'[^']*'|[^,]+)",
+                self.heatmap_options,
+            ):
+                kname, val = m.group(1), m.group(2).strip().strip("\"'")
+                if kname == "scale":
+                    if val in ("row", "column", "none"):
+                        self.heatmap_kw["scale"] = val
+                    else:
+                        logger.warning("-heatmap_options scale=%r: unknown "
+                                       "(row/column/none); ignored", val)
+                elif kname == "main":
+                    self.heatmap_kw["title"] = val
+                elif kname == "xlab":
+                    if val:
+                        self.heatmap_kw["xlab"] = val
+                elif kname == "labCol":
+                    self.heatmap_kw["lab_col"] = val.upper() in ("T", "TRUE")
+                elif kname == "key":
+                    self.heatmap_kw["key"] = val.upper() in ("T", "TRUE")
+                else:
+                    logger.warning(
+                        "-heatmap_options %s=%r has no native analogue in "
+                        "the matplotlib heatmap (honored: %s); ignored",
+                        kname, val, ", ".join(sorted(known)))
+
+        self.tree_branch_lengths = False
+        if self.ggtree_options:
+            for m in re.finditer(
+                r"([A-Za-z._]+)\s*=\s*(\"[^\"]*\"|'[^']*'|[^,]+)",
+                self.ggtree_options,
+            ):
+                kname, val = m.group(1), m.group(2).strip().strip("\"'")
+                if kname == "branch.length":
+                    self.tree_branch_lengths = val != "none"
+                elif kname == "layout":
+                    if val != "circular":
+                        logger.warning(
+                            "-ggtree_options layout=%r: the native tree "
+                            "plot is circular-only; ignored", val)
+                else:
+                    logger.warning(
+                        "-ggtree_options %s=%r has no native analogue "
+                        "(honored: branch.length, layout); ignored",
+                        kname, val)
+
+    def _parse_aligner_options(self):
+        """-aligner_options sub-flags with native analogues: minimap2
+        ``-n`` (min anchors per chain -> min_chain_anchors) and ``-g``
+        (max chain gap -> max_gap); ``-x`` presets and the rest are
+        warn-ignored (reference passes the string verbatim to minimap2,
+        Blocks.py:42-43)."""
+        self.block_min_anchors = 10
+        self.block_max_gap = 100_000
+        t = (self.aligner_options or "").split()
+        i = 0
+        while i < len(t):
+            tok = t[i]
+            if tok == "-n" and i + 1 < len(t):
+                self.block_min_anchors = max(int(t[i + 1]), 1)
+                i += 2
+            elif tok == "-g" and i + 1 < len(t):
+                self.block_max_gap = int(t[i + 1])
+                i += 2
+            elif tok == "-x" and i + 1 < len(t):
+                if t[i + 1] != "asm20":
+                    logger.warning(
+                        "-aligner_options -x %s: the native aligner has no "
+                        "presets; ignored", t[i + 1])
+                i += 2
+            else:
+                logger.warning(
+                    "-aligner_options %r has no native analogue "
+                    "(honored: -n, -g); ignored", tok)
+                i += 1
 
     def _parse_tool_options(self):
         """Honor the sub-flags of -tesorter_options / -trimal_options /
@@ -867,6 +940,7 @@ class Pipeline:
                     d_colors=d_colors, figfmt=self.figfmt,
                     d_class=getattr(lpipe, "d_class", None),
                     trim_gt=self.trim_gt, n_boot=self.tree_boot,
+                    use_branch_lengths=self.tree_branch_lengths,
                 )
             except Exception as e:
                 logger.warning("LTR tree step failed: %s", e)
@@ -895,6 +969,8 @@ class Pipeline:
             pafs, _offsets = run_align(
                 self.alt_sgs, self.genome, blocks_dir,
                 min_block=self.min_block, k=min(self.k, 15),
+                min_anchors=self.block_min_anchors,
+                max_gap=self.block_max_gap,
             )
 
         names = self.chrom_labels
@@ -930,6 +1006,7 @@ class Pipeline:
             plot_heatmap(
                 res.matrix.freqs, self.chrom_labels, self.d_sg, kmer_sg,
                 self.sg_names, d_colors, heatfig,
+                **self.heatmap_kw,
             )
             scores, ratio = cluster.pca(n_components=max(2, self.nsg))
             pcafig = self.para_prefix + ".kmer_pca." + self.figfmt

@@ -67,8 +67,20 @@ def plot_heatmap(
     outfig,
     subsample: int = 10000,
     seed: int = 0,
+    scale: str = "row",
+    title: str | None = None,
+    xlab: str | None = None,
+    lab_col: bool = True,
+    key: bool = False,
 ):
-    """Chromosomes x k-mers heatmap, Z-scored per k-mer, SG side colors."""
+    """Chromosomes x k-mers heatmap, Z-scored per k-mer, SG side colors.
+
+    ``scale``/``title``/``xlab``/``lab_col``/``key`` are the native
+    analogues of the reference's -heatmap_options heatmap.2 sub-flags
+    (scale=, main=, xlab=, labCol=, key=; reference Jellyfish.py:525-603):
+    scale picks the Z-score axis ("row" = per k-mer, the heatmap.2
+    default; "column" = per chromosome; "none" = raw frequencies), key
+    adds the color scale bar."""
     rng = np.random.default_rng(seed)
     b = freqs.shape[0]
     if b > subsample:
@@ -76,8 +88,15 @@ def plot_heatmap(
         freqs = freqs[sel]
         kmer_sg = kmer_sg[sel]
     data = freqs.T.astype(np.float64)  # (C, B)
-    mean = data.mean(axis=0, keepdims=True)
-    std = data.std(axis=0, ddof=1, keepdims=True)
+    if scale == "row":
+        mean = data.mean(axis=0, keepdims=True)
+        std = data.std(axis=0, ddof=1, keepdims=True)
+    elif scale == "column":
+        mean = data.mean(axis=1, keepdims=True)
+        std = data.std(axis=1, ddof=1, keepdims=True)
+    else:
+        mean = np.zeros((1, 1))
+        std = np.ones((1, 1))
     z = (data - mean) / np.where(std > 0, std, 1.0)
 
     # cluster BOTH axes with complete-linkage euclidean (the defaults of the
@@ -116,13 +135,24 @@ def plot_heatmap(
         axcd.axis("off")
     ax = fig.add_subplot(gs[2, 2])
     vmax = np.nanpercentile(np.abs(z), 99) or 1.0
-    ax.imshow(z, aspect="auto", cmap="RdYlGn_r", vmin=-vmax, vmax=vmax,
-              interpolation="nearest")
-    ax.set_yticks(range(len(chrs_o)))
-    ax.set_yticklabels(chrs_o, fontsize=max(4, min(10, 200 // max(len(chrs_o), 1))))
-    ax.yaxis.tick_right()
+    im = ax.imshow(z, aspect="auto", cmap="RdYlGn_r", vmin=-vmax, vmax=vmax,
+                   interpolation="nearest")
+    if lab_col:
+        ax.set_yticks(range(len(chrs_o)))
+        ax.set_yticklabels(
+            chrs_o, fontsize=max(4, min(10, 200 // max(len(chrs_o), 1))))
+        ax.yaxis.tick_right()
+    else:
+        ax.set_yticks([])
     ax.set_xticks([])
-    ax.set_xlabel("Differential kmers", fontsize=FONTSIZE)
+    ax.set_xlabel("Differential kmers" if xlab is None else xlab,
+                  fontsize=FONTSIZE)
+    if title:
+        ax.set_title(title, fontsize=FONTSIZE + 1)
+    if key:
+        fig.colorbar(im, ax=ax, fraction=0.03, pad=0.08,
+                     label={"row": "row Z-score", "column": "column Z-score",
+                            "none": "frequency"}.get(scale, ""))
 
     from matplotlib.colors import ListedColormap
 

@@ -77,7 +77,9 @@ def test_minus_strand_inference():
 
 def test_score_gate_rejects_bare_repeats():
     """A plain direct repeat with no TG..CA, no TSD, no PBS/PPT must fail
-    the default -w 2 gate but pass -w 0 (reference quality semantics)."""
+    the default min_score=2 structural gate but pass -min_score 0 (the
+    gate's extension token; ltr_finder's -w is an output-format flag and
+    is ignored — see parse_finder_options)."""
     rng = np.random.default_rng(9)
     ltr = "AC" + random_seq(rng, 396) + "GT"   # termini that are not TG/CA
     elem = ltr + random_seq(rng, 3000) + _mutate(rng, ltr, 0.03)
@@ -85,8 +87,8 @@ def test_score_gate_rejects_bare_repeats():
     seq = random_seq(rng, 9000) + elem + random_seq(rng, 9000)
     strict = _detect(seq, tile_bases=1 << 15)
     hits = [r for r in strict if abs(r.start - 1 - 9000) <= 30]
-    assert not hits, f"bare repeat passed -w 2: {hits}"
-    loose = _detect(seq, tile_bases=1 << 15, options="-w 0")
+    assert not hits, f"bare repeat passed min_score 2: {hits}"
+    loose = _detect(seq, tile_bases=1 << 15, options="-min_score 0")
     hits0 = [r for r in loose if abs(r.start - 1 - 9000) <= 30]
     assert hits0
     assert hits0[0].score <= 1
@@ -115,7 +117,9 @@ def test_chains_across_indel_drift():
 
 
 def test_parse_finder_options_w_and_M():
-    p = parse_finder_options("-w 3 -D 12000 -d 800 -L 5000 -l 150 -M 0.85")
+    p = parse_finder_options(
+        "-w 2 -min_score 3 -D 12000 -d 800 -L 5000 -l 150 -M 0.85")
+    # -w is ltr_finder's OUTPUT FORMAT flag, not a threshold: ignored
     assert p["min_score"] == 3
     assert p["maxdistltr"] == 12000
     assert p["mindistltr"] == 800
