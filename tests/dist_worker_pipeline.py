@@ -2,11 +2,11 @@
 
 Each process initializes jax.distributed, then runs the production
 ``Pipeline.run`` on the same synthetic allotetraploid input with its own
-outdir/tmpdir. Counting is chromosome-sharded across the processes
-(phase/spectrum.count_genome + parallel/distributed.exchange_chrom_spectra);
-every downstream step is replicated and deterministic, so the per-rank
-output trees must be byte-identical — the multi-host story the reference
-covers with DRMAA array jobs + filesystem merge (RunCmdsMP.py:38-217).
+outdir/tmpdir. Counting, mapping, LTR detection, classification (both
+passes) and block pairs are all rank-sharded with payload exchanges
+(parallel/distributed); the deterministic merge makes the per-rank output
+trees byte-identical — the multi-host story the reference covers with
+DRMAA array jobs + filesystem merge (RunCmdsMP.py:38-217).
 
 Usage: dist_worker_pipeline.py <coordinator> <rank> <nproc> <sharedtmp>
 """

@@ -397,3 +397,38 @@ def test_alignment_tree_beats_sketch_on_low_divergence():
     import re
 
     assert re.search(r"\)\d+:", nwk_aln), nwk_aln
+
+
+def test_detection_checkpoint_parts(tmp_path):
+    """Per-chromosome detection checkpointing (wheat-scale crash
+    insurance): a part file written for a finished chromosome is honored
+    on resume — even a DIFFERENT (tampered) part must be returned as-is,
+    proving detection was skipped — and the merged result equals a fresh
+    detection when parts match."""
+    rng = np.random.default_rng(3)
+    block, _tsd, _el = None, None, None
+    ltr = "TG" + random_seq(rng, 396) + "CA"
+    elem = ltr + random_seq(rng, 3000) + _mutate(rng, ltr, 0.03)
+    tsd = "GATCA"
+    seq = random_seq(rng, 9000) + tsd + elem + tsd + random_seq(rng, 9000)
+    g = PackedGenome.from_dict({"c1": seq, "c2": random_seq(rng, 20000)})
+    prefix = str(tmp_path / "LTR.scn")
+
+    fresh = detect_ltr(g, tile_bases=1 << 15)
+    first = detect_ltr(g, tile_bases=1 << 15, checkpoint_prefix=prefix)
+    assert [r.key for r in first] == [r.key for r in fresh]
+    import os
+
+    assert os.path.exists(prefix + ".part.c1.scn")
+    assert os.path.exists(prefix + ".part.c2.scn")
+
+    # tamper with c1's part: resume must trust the checkpoint, not re-run
+    from subphaser_tpu.ltr.records import parse_scn, write_scn
+
+    recs = parse_scn(prefix + ".part.c1.scn")
+    kept = recs[:0]  # empty
+    with open(prefix + ".part.c1.scn", "w") as f:
+        write_scn(kept, f)
+    resumed = detect_ltr(g, tile_bases=1 << 15, checkpoint_prefix=prefix)
+    c1 = [r for r in resumed if r.seq_id == "c1"]
+    assert c1 == [], "tampered part ignored: detection re-ran instead of resuming"
