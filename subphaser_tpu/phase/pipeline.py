@@ -517,6 +517,25 @@ class Pipeline:
         if self.ckp.has("genome.packed", params) and os.path.exists(cache):
             genome = PackedGenome.load(cache)
             logger.info("Loaded packed genome checkpoint (%d chromosomes)", len(genome))
+            # resume-at-counting: the genome checkpoint short-circuits
+            # packing, but if any spectrum is missing the counting programs
+            # still need their multi-minute remote first-compile — start
+            # the warm-up now so it overlaps the (~1 min/10 Gb) npz load
+            # already behind us plus config/figure host work ahead
+            # existence heuristic only (a stale-digest checkpoint still
+            # recounts; the worst case is one wasted warm-up compile)
+            if not all(
+                os.path.exists(os.path.join(
+                    self.tmpdir, f"spectrum.{name}.ok.json"))
+                for name in self.targets.values()
+            ):
+                from subphaser_tpu.phase.warmup import start_count_warmup
+
+                start_count_warmup(
+                    self.genomes, self.labels, self.targets, self.k,
+                    self.tile_bases, self.low_mem, self.max_memory,
+                    self.lower_count,
+                )
         else:
             # compile the big counting programs WHILE the host packs: the
             # remote first-compile (~minutes) hides behind the FASTA parse
