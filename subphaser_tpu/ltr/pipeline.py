@@ -202,6 +202,10 @@ class LTRPipeline:
         # pass-2: rescue unclassified elements by similarity to classified
         # ones (reference app.py:417-432 blast equivalent)
         if self.pass2_enabled:
+            # the inner-sequence strings (6.6 GB at wheat scale) are dead
+            # once pass-1 returns; drop them before materializing the full
+            # sequences so the two sets never coexist
+            del elements
             full = [(ltr.id, ltr.get_full_seq(d_seqs[ltr.seq_id]))
                     for ltr in ltrs]
             p2 = self.pass2_rule or (80.0, 80.0, 80)

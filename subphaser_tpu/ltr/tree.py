@@ -59,10 +59,16 @@ def _sketch_pos(seq: str, k: int = SKETCH_K) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _sketch(seq: str, k: int = SKETCH_K, s: int = SKETCH) -> np.ndarray:
-    """Bottom-s MinHash sketch of canonical k-mer hashes (uint64, sorted)."""
+    """Bottom-s MinHash sketch of canonical k-mer hashes (uint64, sorted).
+
+    The result is an OWNING array, never a slice-view of the full unique
+    set: a view of ``np.unique(h)[:s]`` pins the whole ~L-entry base array
+    (~44 KB for a 5.6 kb element instead of 4 KB). Sketching ~1M classified
+    wheat elements into pass-2's ``c_sk`` cache with views retained ~44 GB
+    and OOM-killed the 14 Gb run at the pass-1 -> pass-2 transition."""
     h, _pos = _sketch_pos(seq, k)
     u = np.unique(h)
-    return u[:s]
+    return u[:s].copy() if s < u.size else u
 
 
 def mash_distances(sketches: list[np.ndarray], k: int = SKETCH_K) -> np.ndarray:

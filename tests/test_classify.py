@@ -691,3 +691,22 @@ def test_pass2_checkpoint_resume(tmp_path):
     assert out2["B"].order == "LTR"
     assert out2["B"].superfamily == "Copia"
     assert out2["C"].order is None
+
+
+def test_sketch_owns_its_buffer():
+    """_sketch must return an OWNING array, not a bottom-s slice-view that
+    pins the full unique-hash set (~L entries): pass-2 caches ~1M sketches
+    in c_sk at wheat scale, and the view form retained ~10x the intended
+    bytes (44 GB vs 4 GB) — the OOM that killed the first 14 Gb run at the
+    pass-1 -> pass-2 transition."""
+    import numpy as np
+
+    from subphaser_tpu.ltr.tree import _sketch
+
+    rng = np.random.default_rng(7)
+    seq = "".join(rng.choice(list("ACGT"), size=5000))
+    sk = _sketch(seq, k=13, s=64)
+    assert sk.size == 64 and sk.base is None
+    # full-set request (pass-2 c_full): no needless copy, still owning
+    full = _sketch(seq, k=13, s=1 << 30)
+    assert full.size > 64 and full.base is None
