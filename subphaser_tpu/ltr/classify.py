@@ -980,6 +980,16 @@ def _batched_bottom_s_shared(
 # regressions without load-dependent flakes.
 PASS2_STATS = {"pair_evals": 0}
 
+# Fork-pool plumbing: the closure over pass-2's frozen index cannot be
+# pickled, so it is published module-globally RIGHT BEFORE the fork and the
+# children inherit it through copy-on-write; the worker shim is what gets
+# pickled (by name).
+_P2_SCREEN = None
+
+
+def _p2_screen_worker(item):
+    return _P2_SCREEN(item)
+
 
 def classify_pass2(
     elements: list[tuple[str, str]],
@@ -1106,9 +1116,14 @@ def classify_pass2(
             [all_mc[l:h] for l, h in zip(lo, hi)]
         ) if q16.size else np.zeros(0, np.int32)
         if hit_cids.size:
-            cnt = np.bincount(hit_cids, minlength=len(c_ids))
-            nz = np.flatnonzero(cnt)
-            order = np.lexsort((id_rank[nz], -cnt[nz]))[:max_cand]
+            # count shared minima per candidate by sorting the BUCKET
+            # (np.unique), not by bincount over every classified element:
+            # bincount(minlength=n_classified) allocated + scanned an
+            # 832k-entry array per query at wheat scale (~1/3 of the 33 ms
+            # per-query wall); the unique form is O(bucket log bucket) and
+            # produces the identical (nz, cnt) ranking inputs
+            nz, cnt = np.unique(hit_cids, return_counts=True)
+            order = np.lexsort((id_rank[nz], -cnt))[:max_cand]
             cand = [c_ids[i] for i in nz[order]]
         else:
             cand = []
@@ -1145,23 +1160,51 @@ def classify_pass2(
             return eid, best_id, len(cand)
         return eid, None, len(cand)
 
-    # SERIAL screening, measured: a 4-thread pool ran 5.4x SLOWER than this
-    # loop (31 vs 167 q/s, tools/bench_pass2.py) — the per-query numpy ops
-    # are far too small to release the GIL, so threads only added lock
-    # thrashing. Cross-machine parallelism comes from the jax.distributed
-    # shard= path; single-host throughput comes from the batched argsort in
-    # _batched_bottom_s_shared and the shared hash pass.
+    # Parallelism: a 4-THREAD pool measured 5.4x SLOWER than the serial
+    # loop (31 vs 167 q/s, tools/bench_pass2.py) — per-query numpy ops are
+    # too small to release the GIL. Fork PROCESSES sidestep the GIL: the
+    # frozen index (c_sk, minima table, id_rank) is inherited copy-on-write
+    # and children run pure numpy (never jax), so screening scales with
+    # cores (the 14 Gb wheat run measured 30 q/s serial = 3.1 h of pass-2;
+    # 4 workers cut it ~4x). imap preserves input order, so checkpoints and
+    # transfers are byte-identical to the serial loop. Each child builds
+    # its own lazy c_full cache (duplicated work, bounded). Opt out with
+    # SUBPHASER_PASS2_PROCS=1 (and the jax.distributed shard= path already
+    # divides queries across machines).
     results = []
     ckpt_mark = 0
-    for item in unclassified:
-        results.append(_screen(item))
-        if len(results) % 4096 == 0:
-            logger.info("Pass-2: %d/%d screened, %d transferred",
-                        len(results), len(unclassified),
-                        sum(1 for _e, b, _n in results if b is not None))
-            _append_ckpt(checkpoint, {
-                e: b for e, b, _n in results[ckpt_mark:]})
-            ckpt_mark = len(results)
+
+    def _drain(iterator):
+        nonlocal ckpt_mark
+        for r in iterator:
+            results.append(r)
+            if len(results) % 4096 == 0:
+                logger.info("Pass-2: %d/%d screened, %d transferred",
+                            len(results), len(unclassified),
+                            sum(1 for _e, b, _n in results
+                                if b is not None))
+                _append_ckpt(checkpoint, {
+                    e: b for e, b, _n in results[ckpt_mark:]})
+                ckpt_mark = len(results)
+
+    n_procs = int(os.environ.get("SUBPHASER_PASS2_PROCS", "0") or 0) \
+        or (os.cpu_count() or 1)
+    par_min = int(os.environ.get("SUBPHASER_PASS2_PAR_MIN", "4096"))
+    n_procs = max(1, min(n_procs, 16))
+    if (n_procs > 1 and len(unclassified) >= par_min
+            and hasattr(os, "fork")):
+        global _P2_SCREEN
+        _P2_SCREEN = _screen
+        from multiprocessing import get_context
+
+        try:
+            with get_context("fork").Pool(n_procs) as pool:
+                _drain(pool.imap(_p2_screen_worker, unclassified,
+                                 chunksize=256))
+        finally:
+            _P2_SCREEN = None
+    else:
+        _drain(_screen(item) for item in unclassified)
     _append_ckpt(checkpoint, {e: b for e, b, _n in results[ckpt_mark:]})
     for eid, best_id, evals in results:
         PASS2_STATS["pair_evals"] += evals

@@ -710,3 +710,50 @@ def test_sketch_owns_its_buffer():
     # full-set request (pass-2 c_full): no needless copy, still owning
     full = _sketch(seq, k=13, s=1 << 30)
     assert full.size > 64 and full.base is None
+
+
+def test_pass2_parallel_matches_serial(monkeypatch):
+    """The fork-pool screening path must produce results byte-identical to
+    the serial loop (imap preserves input order; transfers apply in input
+    order either way)."""
+    from subphaser_tpu.ltr.classify import Classification, classify_pass2
+
+    rng = np.random.default_rng(23)
+    bases = "ACGT"
+
+    def rand_seq(n):
+        return "".join(rng.choice(list(bases), size=n))
+
+    def mutate(s, rate):
+        return "".join(
+            rng.choice([c for c in bases if c != ch]) if rng.random() < rate
+            else ch for ch in s
+        )
+
+    anc = [rand_seq(2500) for _ in range(3)]
+    elems = [(f"R{i}", mutate(anc[i % 3], 0.02)) for i in range(6)]
+    elems += [(f"Q{i}", mutate(anc[i % 3], 0.04)) for i in range(12)]
+    elems += [(f"N{i}", rand_seq(2500)) for i in range(6)]
+
+    def fresh():
+        d = {}
+        for eid, _s in elems:
+            if eid.startswith("R"):
+                fam = "Copia" if eid in ("R0", "R2", "R4") else "Gypsy"
+                d[eid] = Classification(id=eid, order="LTR", superfamily=fam,
+                                        clade="Ale", completed="yes",
+                                        strand="+")
+            else:
+                d[eid] = Classification(id=eid)
+        return d
+
+    monkeypatch.setenv("SUBPHASER_PASS2_PROCS", "1")
+    serial = classify_pass2(elems, fresh())
+    monkeypatch.setenv("SUBPHASER_PASS2_PROCS", "2")
+    monkeypatch.setenv("SUBPHASER_PASS2_PAR_MIN", "1")
+    par = classify_pass2(elems, fresh())
+    assert set(serial) == set(par)
+    for eid in serial:
+        assert serial[eid] == par[eid], eid
+    assert any(serial[e].order == "LTR" for e, _ in elems
+               if e.startswith("Q")), "no transfer happened; test is vacuous"
