@@ -211,26 +211,42 @@ def run_align(
             continue
         todo.append((pi, si, chr1, chr2))
 
-    # one-ahead pipeline: a single worker thread runs the NEXT pair's
-    # device anchoring/join + tunnel download while the main thread chains
-    # and gap-DP-aligns the current pair (the native DP releases the GIL,
-    # and jax dispatch is thread-safe). Prefetch only within the same
-    # homoeologous set so at most one set's anchor arrays live on device.
+    # two-sided pipeline over the pair list:
+    # - ONE device thread runs the NEXT pair's anchoring/join + tunnel
+    #   download (jax dispatch is thread-safe) — including ACROSS set
+    #   boundaries: once the current set's last matches are downloaded its
+    #   device anchor arrays are dropped, so the next set's anchors build
+    #   while this set's host work drains (the boundary used to serialize
+    #   ~3 x 56 s of 667 Mb anchor builds behind an idle host, ~18 min
+    #   across wheat's 6 boundaries), with at most one set's anchors on
+    #   device at any time (the staged-join memory envelope that the
+    #   80 M-anchor kernel-fault fix established).
+    # - TWO host threads chain/LIS/gap-DP different pairs concurrently:
+    #   chain_anchors/sp_lis/sp_build_cs are ctypes calls that release the
+    #   GIL (the DP is OpenMP inside), and at 667 Mb the host half
+    #   (~150-250 s/pair) outweighs the device half (~125 s/pair), so the
+    #   host side is the blocks-phase critical path.
+    import time as _time
     from concurrent.futures import ThreadPoolExecutor
 
-    def _caches_for(si: int) -> tuple[dict, dict]:
-        # decoded chromosomes / device anchor sets are reused across this
-        # homoeologous set's pairs and dropped afterwards (bounds host and
-        # device memory to one set)
+    def _caches_for(si: int, keep: tuple) -> tuple[dict, dict]:
+        # per-set decoded chromosomes / device anchors; sets outside
+        # ``keep`` are unpinned (a host thread still aligning an old pair
+        # holds its own reference to that set's dicts — dropping here only
+        # releases them once that pair completes)
+        for s in [s for s in caches if s not in keep]:
+            del caches[s]
         if si not in caches:
-            caches.clear()
             caches[si] = ({}, {})
         return caches[si]
 
-    with ThreadPoolExecutor(max_workers=1) as devex:
+    host_futs: dict[int, tuple] = {}  # pi -> (chr1, chr2, Future)
+    with ThreadPoolExecutor(max_workers=1) as devex, \
+            ThreadPoolExecutor(max_workers=2) as hostex:
         pending = None  # (index into todo, Future)
         for ti, (pi, si, chr1, chr2) in enumerate(todo):
-            decode_cache, anchor_cache = _caches_for(si)
+            nsi = todo[ti + 1][1] if ti + 1 < len(todo) else si
+            decode_cache, anchor_cache = _caches_for(si, (si, nsi))
             if pending is not None and pending[0] == ti:
                 prefetched = pending[1].result()
             else:
@@ -239,21 +255,33 @@ def run_align(
                     anchor_cache=anchor_cache)
             pending = None
             if ti + 1 < len(todo):
-                npi, nsi, nc1, nc2 = todo[ti + 1]
-                if nsi == si:  # same set: anchor cache stays bounded
-                    pending = (ti + 1, devex.submit(
-                        fetch_pair_matches, genome, nc1, nc2, k=k, mod=mod,
-                        anchor_cache=anchor_cache))
-            recs = align_pair(
+                _npi, nsi, nc1, nc2 = todo[ti + 1]
+                next_anchor_cache = _caches_for(nsi, (si, nsi))[1]
+                if nsi != si:
+                    # this set's joins are all done (matches downloaded);
+                    # free its device anchors before the next set's build
+                    anchor_cache.clear()
+                pending = (ti + 1, devex.submit(
+                    fetch_pair_matches, genome, nc1, nc2, k=k, mod=mod,
+                    anchor_cache=next_anchor_cache))
+            host_futs[pi] = (chr1, chr2, hostex.submit(
+                align_pair,
                 genome, chr1, chr2, k=k, mod=mod,
                 min_block=max(min_block // 5, 10_000),
                 min_anchors=min_anchors, max_gap=max_gap,
                 decode_cache=decode_cache,
                 anchor_cache=anchor_cache,
                 prefetched=prefetched,
-            )
-            paf_text[pi] = "".join(r.to_line() + "\n" for r in recs)
-            logger.info("Aligned %s vs %s: %d blocks", chr1, chr2, len(recs))
+            ))
+            # bound queued matches (~40 MB/pair at wheat scale): at most 2
+            # running + 1 queued host pairs
+            while sum(1 for _c1, _c2, f in host_futs.values()
+                      if not f.done()) > 3:
+                _time.sleep(0.2)
+        for pi2, (c1, c2, fut) in host_futs.items():
+            recs = fut.result()
+            paf_text[pi2] = "".join(r.to_line() + "\n" for r in recs)
+            logger.info("Aligned %s vs %s: %d blocks", c1, c2, len(recs))
     if nproc > 1:
         from subphaser_tpu.parallel.distributed import exchange_blobs
 
