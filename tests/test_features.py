@@ -72,3 +72,42 @@ def test_no_cross_feature_kmers():
     pack = FeaturePack.build([("a", f1), ("b", f2)], k)
     counts = pack.map_counts(sig, k, tile_bases=1 << 12)
     assert counts.sum() == 0
+
+
+def test_feature_pack_chrom_cap_split_parity(monkeypatch):
+    """Features beyond CHROM_CAP split across multiple pseudo-chromosomes
+    with IDENTICAL counts: one 4.6 Gbase concatenated chromosome overflowed
+    the int32 tile starts at wheat scale (490k retained LTRs) and wedged
+    the device worker mid-run. A tiny cap here forces the multi-chromosome
+    path; the uncapped single-chromosome build is the oracle."""
+    k = 13
+    rng = np.random.default_rng(11)
+    sig_seqs = [random_seq(rng, k) for _ in range(4)]
+    sgs = [0, 0, 1, 1]
+    feats = []
+    for fi in range(10):
+        s = list(random_seq(rng, 500 + 61 * fi))
+        for j in range(fi % 3):
+            p = 40 * (j + 1)
+            s[p : p + k] = list(sig_seqs[(fi + j) % 4])
+        feats.append((f"chr{fi}:1-2:f{fi}", "".join(s)))
+    codes, code_sg = [], []
+    for seq, sg in zip(sig_seqs, sgs):
+        codes += [kmer_code(seq), kmer_code(revcomp(seq))]
+        code_sg += [sg, sg]
+    order = np.argsort(codes)
+    sig = SigKmers(
+        codes=np.array(codes, dtype=np.int32)[order],
+        sg=np.array(code_sg, dtype=np.int32)[order],
+        canon_codes=np.zeros(0, np.int32),
+        canon_sg=np.zeros(0, np.int32),
+        sg_names=["SG1", "SG2"],
+    )
+    oracle = FeaturePack.build(feats, k)
+    assert len(oracle.genome.chroms) == 1
+    want = oracle.map_counts(sig, k, tile_bases=1 << 12)
+    monkeypatch.setattr(FeaturePack, "CHROM_CAP", 2048)
+    pack = FeaturePack.build(feats, k)
+    assert len(pack.genome.chroms) >= 3
+    got = pack.map_counts(sig, k, tile_bases=1 << 12)
+    np.testing.assert_array_equal(got, want)
