@@ -10,6 +10,7 @@ per-feature counts are recovered by summing the fixed-width feature slots.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -90,8 +91,22 @@ class FeaturePack:
         )
 
     def map_counts(self, sig: SigKmers, k: int, tile_bases: int = 1 << 22) -> np.ndarray:
-        """(n_features, n_sg) significant-k-mer hit counts."""
+        """(n_features, n_sg) significant-k-mer hit counts.
+
+        k <= 15 runs HOST-side by default (vectorized searchsorted against
+        the sorted sig table): the feature sequences are host-resident
+        strings, so the device path pays a multi-GB upload plus ~1100
+        tunnel-bound tile dispatches at wheat scale — and its 16384-bin
+        tile program reproducibly wedged the remote worker on first
+        execution during the 14 Gb run (attempts 3-5). The sig table
+        (~6 MB sorted int32) is L2-resident, making host searchsorted
+        ~30 M probes/s/thread — the whole 4.6 Gbase wheat feature set
+        maps in ~3 min across threads with zero device risk.
+        SUBPHASER_FEATURE_MAP=device restores the device path.
+        """
         n_sg = len(sig.sg_names)
+        if k <= 15 and os.environ.get("SUBPHASER_FEATURE_MAP") != "device":
+            return self._map_counts_host(sig, k)
         if k > 15:
             from subphaser_tpu.ops.mapbins_pair import map_genome_bins_pair
 
@@ -139,4 +154,75 @@ class FeaturePack:
         out = np.zeros((len(self.names), n_sg), dtype=np.int64)
         for i, (s0, ns) in enumerate(zip(self.feature_slot_start, self.slots_per_feature)):
             out[i] = slots[s0 : s0 + ns].sum(axis=0)
+        return out
+
+    def _map_counts_host(self, sig: SigKmers, k: int) -> np.ndarray:
+        """Host half of :meth:`map_counts` (k <= 15): per-slot forward-code
+        matches against the sorted two-strand sig table, chunked so the
+        vector ops run on ~64M-element arrays (GIL released -> threads
+        scale) and summed into the global slot space. Chunks are
+        slot-aligned and k-mer starts never cross a chunk, so the per-chunk
+        slot ranges are disjoint."""
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        from subphaser_tpu.ltr.native import unpack_codes
+
+        n_sg = len(sig.sg_names)
+        slot = self.slot
+        table = sig.codes.astype(np.int64)
+        sg_of = sig.sg
+        total_slots = int(self.slots_per_feature.sum())
+        out_slots = np.zeros((total_slots, n_sg), np.int64)
+        lock = threading.Lock()
+        CHUNK = 1 << 26  # bases; a multiple of every valid slot (slot % 16 == 0)
+        assert CHUNK % slot == 0
+
+        def _chunk(codes: np.ndarray, lo: int, hi: int, slot_base: int):
+            seg = codes[lo : min(hi + k - 1, codes.size)].astype(np.int64)
+            valid = seg < 4
+            seg = np.where(valid, seg, 0)
+            n = seg.size - k + 1
+            if n <= 0 or table.size == 0:
+                return
+            code = np.zeros(n, np.int64)
+            ok = np.ones(n, bool)
+            for j in range(k):
+                code = (code << 2) | seg[j : j + n]
+                ok &= valid[j : j + n]
+            pos = np.flatnonzero(ok)
+            if pos.size == 0:
+                return
+            fc = code[pos]
+            i = np.minimum(np.searchsorted(table, fc), table.size - 1)
+            m = table[i] == fc
+            if not m.any():
+                return
+            p = pos[m] + lo
+            slot_lo = slot_base + lo // slot
+            slot_hi = slot_base + (hi + slot - 1) // slot
+            local = (p - lo) // slot  # lo is slot-aligned (CHUNK % slot == 0)
+            flat = local * n_sg + sg_of[i[m]]
+            cnt = np.bincount(
+                flat, minlength=(slot_hi - slot_lo) * n_sg
+            ).reshape(-1, n_sg)
+            with lock:
+                out_slots[slot_lo:slot_hi] += cnt
+
+        jobs = []
+        slot_base = 0
+        for chrom in self.genome.chroms:
+            codes = unpack_codes(chrom.packed, chrom.vmask, chrom.length)
+            for lo in range(0, chrom.length, CHUNK):
+                jobs.append((codes, lo, min(lo + CHUNK, chrom.length),
+                             slot_base))
+            slot_base += chrom.length // slot
+        with ThreadPoolExecutor(max_workers=min(4, os.cpu_count() or 1)) \
+                as ex:
+            list(ex.map(lambda a: _chunk(*a), jobs))
+        out = np.zeros((len(self.names), n_sg), dtype=np.int64)
+        for i, (s0, ns) in enumerate(
+            zip(self.feature_slot_start, self.slots_per_feature)
+        ):
+            out[i] = out_slots[s0 : s0 + ns].sum(axis=0)
         return out

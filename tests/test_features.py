@@ -111,3 +111,41 @@ def test_feature_pack_chrom_cap_split_parity(monkeypatch):
     assert len(pack.genome.chroms) >= 3
     got = pack.map_counts(sig, k, tile_bases=1 << 12)
     np.testing.assert_array_equal(got, want)
+
+
+def test_feature_map_host_matches_device(monkeypatch):
+    """The default host-side feature mapping (k <= 15) must equal the
+    device tile path exactly — same forward-code, all-k-valid, two-strand
+    table semantics (the device path wedged the remote worker at wheat
+    scale; SUBPHASER_FEATURE_MAP=device keeps it reachable)."""
+    k = 13
+    rng = np.random.default_rng(21)
+    sig_seqs = [random_seq(rng, k) for _ in range(6)]
+    sgs = [0, 1, 2, 0, 1, 2]
+    feats = []
+    for fi in range(9):
+        s = list(random_seq(rng, 700 + 91 * fi))
+        for j in range(fi % 4):
+            p = 50 * (j + 1)
+            s[p : p + k] = list(sig_seqs[(fi + j) % 6])
+        if fi == 4:  # embed an N-run: invalid k-mers must not count
+            s[100:120] = ["N"] * 20
+        feats.append((f"c{fi}:1-2:f{fi}", "".join(s)))
+    codes, code_sg = [], []
+    for seq, sg in zip(sig_seqs, sgs):
+        codes += [kmer_code(seq), kmer_code(revcomp(seq))]
+        code_sg += [sg, sg]
+    order = np.argsort(codes)
+    sig = SigKmers(
+        codes=np.array(codes, dtype=np.int32)[order],
+        sg=np.array(code_sg, dtype=np.int32)[order],
+        canon_codes=np.zeros(0, np.int32),
+        canon_sg=np.zeros(0, np.int32),
+        sg_names=["SG1", "SG2", "SG3"],
+    )
+    pack = FeaturePack.build(feats, k)
+    host = pack.map_counts(sig, k, tile_bases=1 << 12)
+    monkeypatch.setenv("SUBPHASER_FEATURE_MAP", "device")
+    dev = pack.map_counts(sig, k, tile_bases=1 << 12)
+    np.testing.assert_array_equal(host, dev)
+    assert host.sum() > 0
